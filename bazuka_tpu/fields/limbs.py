@@ -1,0 +1,328 @@
+"""TPU-native multi-limb prime-field engine.
+
+Big integers are represented as little-endian 16-bit limbs held in `uint32`
+lanes, shape `(..., n_limbs)`.  All arithmetic is branch-free, static-shape
+and vectorizes over arbitrary leading (batch) dimensions, which is how every
+hot kernel in this framework (Poseidon, NTT, MSM, witness generation) maps
+onto the 8x128 VPU: the batch rides the vector lanes, the limb loop is a
+short static unroll that XLA fuses.
+
+Why 16-bit limbs in 32-bit lanes: a 16x16 product fits a uint32 exactly, and
+schoolbook column accumulation of up to 2*n partial products (n <= 24 for
+381-bit Fp) stays < 2^22, so no intermediate carries are needed — one carry
+sweep per multiplication.  Montgomery reduction (R = 2^(16*n)) keeps every
+operation multiplication-shaped.
+
+The engine is backend-generic: the same code runs on `jax.numpy` (the TPU
+path, used under `jit`) and on plain `numpy` (fast host twin used by tests
+and by sequential host-side logic).  Bit-exactness of the two paths is
+asserted in tests.
+
+Replaces the reference's `ff`-derived 4x64 Montgomery arithmetic
+(reference: src/zk/mod.rs:202-206) with a layout chosen for the TPU VPU
+rather than 64-bit scalar CPUs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+MASK = np.uint32(0xFFFF)
+W = 16  # bits per limb
+
+
+def int_to_limbs(x: int, n: int) -> np.ndarray:
+    """Python int -> (n,) uint32 array of 16-bit limbs (little-endian)."""
+    return np.array([(x >> (W * i)) & 0xFFFF for i in range(n)], dtype=np.uint32)
+
+
+def limbs_to_int(a) -> int:
+    """(n,) limb array -> Python int."""
+    a = np.asarray(a, dtype=np.uint64)
+    return sum(int(v) << (W * i) for i, v in enumerate(a))
+
+
+def ints_to_array(xs, n: int) -> np.ndarray:
+    """List/array of ints -> (..., n) uint32 limb array."""
+    xs = np.asarray(xs, dtype=object)
+    out = np.zeros(xs.shape + (n,), dtype=np.uint32)
+    flat = out.reshape(-1, n)
+    for i, v in enumerate(xs.reshape(-1)):
+        flat[i] = int_to_limbs(int(v), n)
+    return out
+
+
+def array_to_ints(a) -> np.ndarray:
+    """(..., n) limb array -> object array of Python ints (scalar if 1-D)."""
+    a = np.asarray(a)
+    shape = a.shape[:-1]
+    flat = a.reshape(-1, a.shape[-1])
+    out = np.empty((flat.shape[0],), dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = limbs_to_int(flat[i])
+    return out.reshape(shape) if shape else out[0]
+
+
+class LimbField:
+    """Montgomery arithmetic mod `modulus` on (..., n) uint16-in-uint32 limbs.
+
+    `backend` is "jax" (default; jnp ops, jit/TPU-ready) or "np" (plain
+    numpy, eager, used for host logic and fast tests).
+    """
+
+    def __init__(self, modulus: int, n_limbs: int, name: str = "F", backend: str = "jax"):
+        assert 2 * modulus < (1 << (W * n_limbs)), "need headroom for lazy sums"
+        self.p = modulus
+        self.n = n_limbs
+        self.name = name
+        self.backend = backend
+        if backend == "jax":
+            import jax.numpy as jnp
+
+            self.xp = jnp
+        else:
+            self.xp = np
+        self.R = 1 << (W * n_limbs)
+        self.R_mod_p = self.R % modulus
+        self.R2 = (self.R * self.R) % modulus
+        # -p^{-1} mod R
+        self.p_inv_neg = (-pow(modulus, -1, self.R)) % self.R
+
+        self.p_limbs = self.xp.asarray(int_to_limbs(modulus, n_limbs))
+        self.p_inv_neg_limbs = self.xp.asarray(int_to_limbs(self.p_inv_neg, n_limbs))
+        self.one_mont_limbs = self.xp.asarray(int_to_limbs(self.R_mod_p, n_limbs))
+
+    # ---------------- backend shims ----------------
+
+    def _slice_add(self, arr, idx, val):
+        if self.xp is np:
+            arr[idx] += val
+            return arr
+        return arr.at[idx].add(val)
+
+    def _slice_set(self, arr, idx, val):
+        if self.xp is np:
+            arr = arr.copy()
+            arr[idx] = val
+            return arr
+        return arr.at[idx].set(val)
+
+    def _fori(self, lo: int, hi: int, body, init):
+        if self.xp is np:
+            acc = init
+            for i in range(lo, hi):
+                acc = body(i, acc)
+            return acc
+        import jax
+
+        return jax.lax.fori_loop(lo, hi, body, init)
+
+    # ---------------- host <-> array conversion ----------------
+
+    def encode(self, xs, mont: bool = True):
+        """Python ints -> limb array (optionally in Montgomery form).
+        Pure host-side work (no device compute)."""
+        scalar = np.isscalar(xs) or isinstance(xs, int)
+        arr = np.asarray([xs] if scalar else xs, dtype=object)
+        if mont:
+            vals = [(int(v) % self.p) * self.R_mod_p % self.p for v in arr.reshape(-1)]
+        else:
+            vals = [int(v) % self.p for v in arr.reshape(-1)]
+        out = ints_to_array(vals, self.n).reshape(arr.shape + (self.n,))
+        if scalar:
+            out = out[0]
+        return self.xp.asarray(out)
+
+    def decode(self, a, mont: bool = True):
+        """Limb array -> Python ints (object ndarray, or int if 1-D input).
+        Pure host-side work."""
+        a = np.asarray(a)
+        ints = array_to_ints(a)
+        if mont:
+            r_inv = pow(self.R_mod_p, -1, self.p)
+            if np.ndim(ints) == 0 or isinstance(ints, int):
+                return int(ints) * r_inv % self.p
+            conv = np.empty(ints.shape, dtype=object)
+            for idx, v in np.ndenumerate(ints):
+                conv[idx] = int(v) * r_inv % self.p
+            return conv
+        return ints
+
+    # ---------------- carry machinery ----------------
+
+    def _carry(self, acc):
+        """Propagate 16-bit carries across the last axis.  Input limbs may be
+        any uint32; returns normalized limbs plus final carry-out."""
+        xp = self.xp
+        outs = []
+        c = xp.zeros(acc.shape[:-1], np.uint32)
+        for k in range(acc.shape[-1]):
+            v = acc[..., k] + c
+            outs.append(v & MASK)
+            c = v >> W
+        return xp.stack(outs, axis=-1), c
+
+    def _sub_raw(self, a, b):
+        """a - b with borrow scan; returns (diff limbs, borrow_out in {0,1})."""
+        xp = self.xp
+        outs = []
+        borrow = xp.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), np.uint32)
+        big = np.uint32(1 << W)
+        for k in range(self.n):
+            t = a[..., k] + big - b[..., k] - borrow
+            outs.append(t & MASK)
+            borrow = np.uint32(1) - (t >> W)
+        return xp.stack(outs, axis=-1), borrow
+
+    # ---------------- ring ops ----------------
+
+    def add(self, a, b):
+        s, _ = self._carry(a + b)
+        return self._cond_sub_p(s)
+
+    def sub(self, a, b):
+        d, borrow = self._sub_raw(a, b)
+        dp, _ = self._carry(d + self.p_limbs)
+        return self.xp.where((borrow != 0)[..., None], dp, d)
+
+    def neg(self, a):
+        d, _ = self._sub_raw(self.xp.broadcast_to(self.p_limbs, a.shape), a)
+        return self.xp.where(self.is_zero(a)[..., None], a, d)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def _cond_sub_p(self, a):
+        d, borrow = self._sub_raw(a, self.p_limbs)
+        return self.xp.where((borrow != 0)[..., None], a, d)
+
+    def mul_wide(self, a, b):
+        """Full 2n-limb product of two n-limb values (normalized)."""
+        xp = self.xp
+        n = self.n
+        a, b = xp.broadcast_arrays(a, b)
+        acc = xp.zeros(a.shape[:-1] + (2 * n,), np.uint32)
+        for i in range(n):
+            prod = a[..., i : i + 1] * b  # (..., n) full 32-bit products
+            acc = self._slice_add(acc, (..., slice(i, i + n)), prod & MASK)
+            acc = self._slice_add(acc, (..., slice(i + 1, i + n + 1)), prod >> W)
+        limbs, _ = self._carry(acc)
+        return limbs
+
+    def _mul_low(self, a, b):
+        """Low n limbs of a*b (mod R)."""
+        xp = self.xp
+        n = self.n
+        a, b = xp.broadcast_arrays(a, b)
+        acc = xp.zeros(a.shape[:-1] + (n,), np.uint32)
+        for i in range(n):
+            prod = a[..., i : i + 1] * b[..., : n - i]
+            acc = self._slice_add(acc, (..., slice(i, n)), prod & MASK)
+            if i + 1 < n:
+                acc = self._slice_add(
+                    acc, (..., slice(i + 1, n)), (prod >> W)[..., : n - i - 1]
+                )
+        limbs, _ = self._carry(acc)
+        return limbs
+
+    def redc(self, t):
+        """Montgomery reduction: t (2n limbs, t < p*R) -> t*R^{-1} mod p."""
+        n = self.n
+        m = self._mul_low(t[..., :n], self.p_inv_neg_limbs)
+        mp = self.mul_wide(m, self.p_limbs)
+        s, _ = self._carry(t + mp)  # low n limbs become zero; no carry-out
+        return self._cond_sub_p(s[..., n:])
+
+    def mont_mul(self, a, b):
+        return self.redc(self.mul_wide(a, b))
+
+    def mont_sqr(self, a):
+        return self.redc(self.mul_wide(a, a))
+
+    def to_mont(self, a):
+        r2 = self.xp.asarray(int_to_limbs(self.R2, self.n))
+        return self.mont_mul(a, r2)
+
+    def from_mont(self, a):
+        pad = self.xp.zeros(a.shape[:-1] + (self.n,), np.uint32)
+        return self.redc(self.xp.concatenate([a, pad], axis=-1))
+
+    # ---------------- predicates ----------------
+
+    def is_zero(self, a):
+        return self.xp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return self.xp.all(a == b, axis=-1)
+
+    def select(self, cond, a, b):
+        """cond ? a : b  (cond has the batch shape, no limb axis)."""
+        return self.xp.where(cond[..., None], a, b)
+
+    # ---------------- exponentiation / inversion ----------------
+
+    def pow_mont(self, a, e: int):
+        """a^e for a fixed Python-int exponent.  4-bit windows driven by a
+        fori_loop so the compiled graph stays one-window-sized; multiplying
+        by the table's 1-entry is the Montgomery identity, so the loop body
+        is branch-free."""
+        xp = self.xp
+        if e == 0:
+            return xp.broadcast_to(self.one_mont_limbs, a.shape)
+        tbl = [xp.broadcast_to(self.one_mont_limbs, a.shape), a]
+        for _ in range(14):
+            tbl.append(self.mont_mul(tbl[-1], a))
+        tbl = xp.stack(tbl, axis=0)  # (16, ..., n)
+        digits = []
+        x = e
+        while x > 0:
+            digits.append(x & 0xF)
+            x >>= 4
+        digits.reverse()
+        digits_arr = xp.asarray(np.array(digits, dtype=np.int32))
+        acc = tbl[digits[0]]
+
+        def body(i, acc):
+            acc = self.mont_sqr(self.mont_sqr(self.mont_sqr(self.mont_sqr(acc))))
+            return self.mont_mul(acc, tbl[digits_arr[i]])
+
+        if len(digits) > 1:
+            acc = self._fori(1, len(digits), body, acc)
+        return acc
+
+    def inv_mont(self, a):
+        """Batched inversion via Fermat (a^(p-2)); inverse of 0 is 0."""
+        return self.pow_mont(a, self.p - 2)
+
+    # ---------------- constants ----------------
+
+    def zeros(self, shape=()):
+        return self.xp.zeros(tuple(shape) + (self.n,), np.uint32)
+
+    def ones_mont(self, shape=()):
+        return self.xp.broadcast_to(self.one_mont_limbs, tuple(shape) + (self.n,))
+
+    def const_mont(self, x: int):
+        """Single constant in Montgomery form, shape (n,), computed host-side."""
+        return self.xp.asarray(
+            int_to_limbs((int(x) % self.p) * self.R_mod_p % self.p, self.n)
+        )
+
+
+# The two fields of BLS12-381.
+from .host import FP_MODULUS, FR_MODULUS  # noqa: E402
+
+FR_LIMBS = 16  # 256 bits
+FP_LIMBS = 24  # 384 bits
+
+
+@functools.cache
+def fr_field(backend: str = "jax") -> LimbField:
+    return LimbField(FR_MODULUS, FR_LIMBS, "Fr", backend)
+
+
+@functools.cache
+def fp_field(backend: str = "jax") -> LimbField:
+    return LimbField(FP_MODULUS, FP_LIMBS, "Fp", backend)
