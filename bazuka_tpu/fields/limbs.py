@@ -152,29 +152,52 @@ class LimbField:
 
     # ---------------- carry machinery ----------------
 
-    def _carry(self, acc):
-        """Propagate 16-bit carries across the last axis.  Input limbs may be
-        any uint32; returns normalized limbs plus final carry-out."""
+    def _shift_up(self, a, d: int):
+        """Limb k takes limb k-d (zeros shifted in at the bottom)."""
         xp = self.xp
-        outs = []
-        c = xp.zeros(acc.shape[:-1], np.uint32)
-        for k in range(acc.shape[-1]):
-            v = acc[..., k] + c
-            outs.append(v & MASK)
-            c = v >> W
-        return xp.stack(outs, axis=-1), c
+        pad = [(0, 0)] * (a.ndim - 1) + [(d, 0)]
+        return xp.pad(a[..., :-d], pad)
+
+    def _carry(self, acc):
+        """Propagate 16-bit carries across the last axis (input limbs may be
+        any uint32 with column sums < 2^22).  Exact, fully vectorized:
+        two folding passes reduce limbs to <= 2^16, then a Kogge-Stone
+        generate/propagate prefix resolves the +1 ripple in log2(n) steps
+        (the naive sequential scan made every op ~200 HLOs and blew up
+        XLA compile times).  Returns (normalized limbs, carry_out)."""
+        xp = self.xp
+        s = (acc & MASK) + self._shift_up(acc >> W, 1)  # limbs < 2^16 + 2^6
+        t = (s & MASK) + self._shift_up(s >> W, 1)  # limbs <= 2^16
+        top_g = t[..., -1] >> W
+        gen = self._shift_up(t >> W, 1).astype(np.bool_)  # carry INTO limb k
+        prop = self._shift_up(t == MASK, 1)
+        d = 1
+        while d < t.shape[-1]:
+            gen = gen | (prop & self._shift_up(gen, d))
+            prop = prop & self._shift_up(prop, d)
+            d *= 2
+        out = (t + gen.astype(np.uint32)) & MASK
+        top_p = (t[..., -1] == MASK) & gen[..., -1]
+        return out, (top_g | top_p.astype(np.uint32)).astype(np.uint32)
 
     def _sub_raw(self, a, b):
-        """a - b with borrow scan; returns (diff limbs, borrow_out in {0,1})."""
+        """a - b with Kogge-Stone borrow resolution;
+        returns (diff limbs, borrow_out in {0,1})."""
         xp = self.xp
-        outs = []
-        borrow = xp.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), np.uint32)
+        a, b = xp.broadcast_arrays(a, b)
         big = np.uint32(1 << W)
-        for k in range(self.n):
-            t = a[..., k] + big - b[..., k] - borrow
-            outs.append(t & MASK)
-            borrow = np.uint32(1) - (t >> W)
-        return xp.stack(outs, axis=-1), borrow
+        d0 = a + big - b  # in [1, 2^17 - 1]
+        top_g = (d0[..., -1] >> W) == 0
+        gen = self._shift_up((d0 >> W) == 0, 1)  # borrow INTO limb k
+        prop = self._shift_up(d0 == big, 1)
+        d = 1
+        while d < self.n:
+            gen = gen | (prop & self._shift_up(gen, d))
+            prop = prop & self._shift_up(prop, d)
+            d *= 2
+        out = (d0 - gen.astype(np.uint32)) & MASK
+        top_p = (d0[..., -1] == big) & gen[..., -1]
+        return out, (top_g | top_p).astype(np.uint32)
 
     # ---------------- ring ops ----------------
 
@@ -199,31 +222,45 @@ class LimbField:
         return self.xp.where((borrow != 0)[..., None], a, d)
 
     def mul_wide(self, a, b):
-        """Full 2n-limb product of two n-limb values (normalized)."""
+        """Full 2n-limb product of two n-limb values (normalized).
+
+        Schoolbook as a stack of statically-shifted partial-product rows
+        reduced in ONE sum — no dynamic-update-slice chains (those made
+        XLA compile time explode: a single curve add took 100 s to
+        compile with the naive accumulate-in-place formulation).
+        Column sums stay < n·2^17 < 2^22, so one carry sweep suffices."""
         xp = self.xp
         n = self.n
         a, b = xp.broadcast_arrays(a, b)
-        acc = xp.zeros(a.shape[:-1] + (2 * n,), np.uint32)
-        for i in range(n):
-            prod = a[..., i : i + 1] * b  # (..., n) full 32-bit products
-            acc = self._slice_add(acc, (..., slice(i, i + n)), prod & MASK)
-            acc = self._slice_add(acc, (..., slice(i + 1, i + n + 1)), prod >> W)
+        prod = a[..., :, None] * b[..., None, :]  # (..., i, j) 32-bit products
+        lo = prod & MASK
+        hi = prod >> W
+        pad = [(0, 0)] * (lo.ndim - 2)
+        rows = [
+            xp.pad(lo[..., i, :], pad + [(i, n - i)])
+            + xp.pad(hi[..., i, :], pad + [(i + 1, n - i - 1)])
+            for i in range(n)
+        ]
+        acc = xp.sum(xp.stack(rows, axis=-2), axis=-2)
         limbs, _ = self._carry(acc)
         return limbs
 
     def _mul_low(self, a, b):
-        """Low n limbs of a*b (mod R)."""
+        """Low n limbs of a*b (mod R) — same shifted-row formulation,
+        truncated to n columns."""
         xp = self.xp
         n = self.n
         a, b = xp.broadcast_arrays(a, b)
-        acc = xp.zeros(a.shape[:-1] + (n,), np.uint32)
-        for i in range(n):
-            prod = a[..., i : i + 1] * b[..., : n - i]
-            acc = self._slice_add(acc, (..., slice(i, n)), prod & MASK)
-            if i + 1 < n:
-                acc = self._slice_add(
-                    acc, (..., slice(i + 1, n)), (prod >> W)[..., : n - i - 1]
-                )
+        prod = a[..., :, None] * b[..., None, :]
+        lo = prod & MASK
+        hi = prod >> W
+        pad = [(0, 0)] * (lo.ndim - 2)
+        rows = [
+            xp.pad(lo[..., i, : n - i], pad + [(i, 0)])
+            + xp.pad(hi[..., i, : n - i - 1], pad + [(i + 1, 0)])
+            for i in range(n)
+        ]
+        acc = xp.sum(xp.stack(rows, axis=-2), axis=-2)
         limbs, _ = self._carry(acc)
         return limbs
 

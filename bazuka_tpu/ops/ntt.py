@@ -1,0 +1,183 @@
+"""NTT / iNTT over BLS12-381 Fr for QAP reduction.
+
+Fr has 2-adicity 32 (p - 1 = 2^32 * t), generator 7 — the evaluation
+domains of the Groth16 prover (reference: bellman's EvaluationDomain,
+consumed via src/mpn/circuits proving; SURVEY.md §2.2).
+
+TPU design: decimation-in-time radix-2 with a one-shot bit-reversal
+gather, then log2(N) vectorized butterfly stages.  Each stage reshapes
+the (N, 16)-limb Montgomery tensor to (groups, 2, half, 16) so the
+butterfly `(a, b) -> (a + w b, a - w b)` is a single batched Montgomery
+multiply + add/sub over VPU lanes; per-stage twiddles are host-precomputed
+Montgomery constants.  No data-dependent control flow; one jit per size.
+
+Host twin (`ntt_host`) is the bit-exactness anchor, checked against a
+naive O(N^2) DFT in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..fields.host import FR_GENERATOR, FR_MODULUS, FR_TWO_ADICITY
+from ..fields.limbs import fr_field
+
+P = FR_MODULUS
+
+
+@functools.cache
+def root_of_unity(log_n: int) -> int:
+    """Primitive 2^log_n-th root of unity in Fr."""
+    if log_n > FR_TWO_ADICITY:
+        raise ValueError(f"domain 2^{log_n} exceeds Fr 2-adicity {FR_TWO_ADICITY}")
+    return pow(FR_GENERATOR, (P - 1) >> log_n, P)
+
+
+# ---------------------------------------------------------------- host twin
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def ntt_host(values, inverse: bool = False) -> list:
+    """In-order radix-2 NTT/iNTT on Python ints (ground truth)."""
+    n = len(values)
+    assert n & (n - 1) == 0, "size must be a power of two"
+    log_n = n.bit_length() - 1
+    w = root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, P)
+    a = [values[i] % P for i in _bit_reverse_indices(n)]
+    half = 1
+    while half < n:
+        w_m = pow(w, n // (2 * half), P)
+        for start in range(0, n, 2 * half):
+            wj = 1
+            for j in range(half):
+                u = a[start + j]
+                v = a[start + j + half] * wj % P
+                a[start + j] = (u + v) % P
+                a[start + j + half] = (u - v) % P
+                wj = wj * w_m % P
+        half *= 2
+    if inverse:
+        n_inv = pow(n, -1, P)
+        a = [x * n_inv % P for x in a]
+    return a
+
+
+def dft_host(values) -> list:
+    """Naive O(N^2) DFT — test oracle only."""
+    n = len(values)
+    w = root_of_unity(n.bit_length() - 1)
+    return [
+        sum(values[j] * pow(w, i * j, P) for j in range(n)) % P for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------- TPU kernel
+
+
+@functools.cache
+def _stage_twiddles(log_n: int, inverse: bool, backend: str):
+    """Per-stage Montgomery twiddle tables: stage s has half=2^s, twiddles
+    w_m^j for j<half where w_m = w^(n/2^(s+1)).  Returned as a list of
+    (half, 16) arrays (ragged across stages, so not stacked)."""
+    F = fr_field(backend)
+    n = 1 << log_n
+    w = root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, P)
+    out = []
+    for s in range(log_n):
+        half = 1 << s
+        w_m = pow(w, n // (2 * half), P)
+        tw = [pow(w_m, j, P) for j in range(half)]
+        out.append(F.xp.asarray(F.encode(np.array(tw, dtype=object))))
+    return out
+
+
+@functools.cache
+def _ntt_fn(log_n: int, inverse: bool, backend: str):
+    F = fr_field(backend)
+    n = 1 << log_n
+    rev = _bit_reverse_indices(n)
+    rev_dev = F.xp.asarray(rev)
+    twiddles = _stage_twiddles(log_n, inverse, backend)
+    n_inv_mont = F.const_mont(pow(n, -1, P)) if inverse else None
+
+    def run(x):
+        """x: (n, 16) Montgomery limbs -> transformed (n, 16)."""
+        a = x[rev_dev]
+        for s in range(log_n):
+            half = 1 << s
+            a = a.reshape(n // (2 * half), 2, half, F.n)
+            u = a[:, 0]
+            v = F.mont_mul(a[:, 1], twiddles[s][None])
+            a = F.xp.stack([F.add(u, v), F.sub(u, v)], axis=1)
+        a = a.reshape(n, F.n)
+        if inverse:
+            a = F.mont_mul(a, n_inv_mont[None])
+        return a
+
+    if backend == "jax":
+        import jax
+
+        run = jax.jit(run)
+    return run
+
+
+def ntt_mont(x, inverse: bool = False, backend: str = "jax"):
+    """(n, 16) Montgomery limbs -> NTT'd limbs, bit-exact vs ntt_host."""
+    n = x.shape[0]
+    return _ntt_fn(n.bit_length() - 1, inverse, backend)(x)
+
+
+def ntt(values, inverse: bool = False, backend: str = "jax") -> np.ndarray:
+    """Convenience host API on int arrays."""
+    F = fr_field(backend)
+    enc = F.xp.asarray(F.encode(np.array(list(values), dtype=object)))
+    out = ntt_mont(enc, inverse, backend)
+    return F.decode(np.asarray(out))
+
+
+# -------------------------------------------------- coset transforms
+
+
+@functools.cache
+def _coset_scale(log_n: int, inverse: bool, backend: str):
+    """Montgomery powers g^i (or g^-i) of the Fr multiplicative generator,
+    for evaluating on / interpolating from the coset gH (bellman's
+    coset_fft semantics for the h(x) computation)."""
+    F = fr_field(backend)
+    n = 1 << log_n
+    g = FR_GENERATOR if not inverse else pow(FR_GENERATOR, -1, P)
+    pows, acc = [], 1
+    for _ in range(n):
+        pows.append(acc)
+        acc = acc * g % P
+    return F.xp.asarray(F.encode(np.array(pows, dtype=object)))
+
+
+def coset_ntt_mont(x, backend: str = "jax"):
+    """Evaluate polynomial (coeff form) over the coset gH."""
+    F = fr_field(backend)
+    log_n = x.shape[0].bit_length() - 1
+    scaled = F.mont_mul(x, _coset_scale(log_n, False, backend))
+    return ntt_mont(scaled, False, backend)
+
+
+def coset_intt_mont(x, backend: str = "jax"):
+    """Interpolate from coset-gH evaluations back to coefficients."""
+    F = fr_field(backend)
+    log_n = x.shape[0].bit_length() - 1
+    coeffs = ntt_mont(x, True, backend)
+    return F.mont_mul(coeffs, _coset_scale(log_n, True, backend))

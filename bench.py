@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+from bazuka_tpu.utils.jaxcfg import enable_compile_cache
+
+enable_compile_cache()
+
 
 def bench_poseidon(batch=8192, iters=10):
     import jax

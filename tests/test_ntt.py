@@ -1,0 +1,62 @@
+"""NTT tests: host vs naive DFT, TPU kernel vs host, roundtrips, coset."""
+
+import numpy as np
+import pytest
+
+from bazuka_tpu.fields.host import FR_GENERATOR, FR_MODULUS
+from bazuka_tpu.fields.limbs import fr_field
+from bazuka_tpu.ops import ntt as nttm
+
+P = FR_MODULUS
+
+
+def rand_vals(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [int(x) for x in rng.integers(0, 2**63, size=n)]
+
+
+def test_root_of_unity():
+    for log_n in (1, 4, 10):
+        w = nttm.root_of_unity(log_n)
+        assert pow(w, 1 << log_n, P) == 1
+        assert pow(w, 1 << (log_n - 1), P) != 1
+    with pytest.raises(ValueError):
+        nttm.root_of_unity(33)
+
+
+def test_host_matches_dft():
+    vals = rand_vals(16)
+    assert nttm.ntt_host(vals) == nttm.dft_host(vals)
+
+
+def test_host_roundtrip():
+    vals = rand_vals(64, 1)
+    assert nttm.ntt_host(nttm.ntt_host(vals), inverse=True) == [v % P for v in vals]
+
+
+@pytest.mark.parametrize("backend", ["np", "jax"])
+@pytest.mark.parametrize("log_n", [4, 8])
+def test_kernel_matches_host(backend, log_n):
+    vals = rand_vals(1 << log_n, log_n)
+    got = list(nttm.ntt(vals, backend=backend))
+    assert got == nttm.ntt_host(vals)
+    got_inv = list(nttm.ntt(vals, inverse=True, backend=backend))
+    assert got_inv == nttm.ntt_host(vals, inverse=True)
+
+
+def test_coset_roundtrip_and_vanishing():
+    # Coset evaluation of Z(x) = x^n - 1 over gH is g^n*w^{ni} - 1 != 0
+    backend = "np"
+    F = fr_field(backend)
+    log_n, n = 4, 16
+    vals = rand_vals(n, 7)
+    enc = F.xp.asarray(F.encode(np.array(vals, dtype=object)))
+    back = F.decode(np.asarray(nttm.coset_intt_mont(nttm.coset_ntt_mont(enc, backend), backend)))
+    assert list(back) == [v % P for v in vals]
+    # polynomial multiplication via coset: (x+1)*(x+2) = x^2+3x+2
+    a = [1, 1] + [0] * 14
+    b = [2, 1] + [0] * 14
+    ea = nttm.coset_ntt_mont(F.xp.asarray(F.encode(np.array(a, dtype=object))), backend)
+    eb = nttm.coset_ntt_mont(F.xp.asarray(F.encode(np.array(b, dtype=object))), backend)
+    prod = F.decode(np.asarray(nttm.coset_intt_mont(F.mont_mul(ea, eb), backend)))
+    assert list(prod[:4]) == [2, 3, 1, 0]
