@@ -1,0 +1,238 @@
+"""Genesis assembly & chain presets (reference: src/config/blockchain.rs).
+
+`get_blockchain_config()` builds the mainnet-shaped chain (4^15 account
+tree, batch sizes 4^3/4^3/4^4); `get_test_blockchain_config()` the test
+chain with Dummy verifier keys, no required MPN batches, and
+check_validator off — so consensus logic is testable without proving
+(reference: src/config/blockchain.rs:457-544).
+"""
+
+from __future__ import annotations
+
+from ..blockchain.config import BlockchainConfig
+from ..core.blocks import Block
+from ..core.header import Header, ProofOfStake
+from ..core.money import Ratio
+from ..core.token import Token
+from ..core.transaction import (
+    ContractId,
+    Money,
+    RegularSendEntry,
+    Transaction,
+    TransactionData,
+)
+from ..crypto.ed25519 import PublicKey as Address
+from ..mpn.config import MpnConfig
+from ..wallet.tx_builder import TxBuilder
+from ..zk.proof import (
+    ZkMultiInputVerifierKey,
+    ZkSingleInputVerifierKey,
+    ZkTokenContract,
+    ZkVerifierKey,
+)
+from ..zk.state import SCALAR, ZkCompressedState, ZkContract
+
+UNIT_ZEROS = 9
+UNIT = 10**UNIT_ZEROS
+
+MPN_LOG4_TREE_SIZE = 15
+MPN_LOG4_TOKENS_TREE_SIZE = 3
+MPN_LOG4_DEPOSIT_BATCH_SIZE = 3
+MPN_LOG4_WITHDRAW_BATCH_SIZE = 3
+MPN_LOG4_UPDATE_BATCH_SIZE = 4
+
+CHAIN_START_TIMESTAMP = 1678976362
+TESTNET_HEIGHT_LIMIT = 1_000_000
+MB = 1_000_000
+
+TREASURY = Address(bytes(32))
+
+
+def get_ziesha_token_creation_tx() -> Transaction:
+    return Transaction(
+        src=None,
+        nonce=0,
+        data=TransactionData(
+            "create_contract",
+            contract=ZkContract(
+                initial_state=ZkCompressedState.empty(SCALAR),
+                state_model=SCALAR,
+                token=ZkTokenContract(
+                    token=Token("Ziesha", "ZSH", 2_000_000_000 * UNIT, UNIT_ZEROS, None)
+                ),
+            ),
+            money=Money.ziesha(0),
+            state={},
+        ),
+        fee=Money.ziesha(0),
+        memo="Happy Birthday Ziesha!",
+    )
+
+
+def get_mpn_contract_tx(
+    log4_tree_size: int,
+    log4_token_tree_size: int,
+    log4_deposit_batch_size: int,
+    log4_withdraw_batch_size: int,
+    deposit_vk: ZkVerifierKey,
+    withdraw_vk: ZkVerifierKey,
+    update_vk: ZkVerifierKey,
+) -> Transaction:
+    config = MpnConfig(
+        log4_tree_size=log4_tree_size,
+        log4_token_tree_size=log4_token_tree_size,
+        log4_deposit_batch_size=log4_deposit_batch_size,
+        log4_withdraw_batch_size=log4_withdraw_batch_size,
+        log4_update_batch_size=0,
+        mpn_contract_id=ContractId.NULL,
+    )
+    model = config.state_model()
+    contract = ZkContract(
+        initial_state=ZkCompressedState.empty(model),
+        state_model=model,
+        deposit_functions=[
+            ZkMultiInputVerifierKey(deposit_vk, log4_deposit_batch_size)
+        ],
+        withdraw_functions=[
+            ZkMultiInputVerifierKey(withdraw_vk, log4_withdraw_batch_size)
+        ],
+        functions=[ZkSingleInputVerifierKey(update_vk)],
+    )
+    return Transaction(
+        src=None,
+        nonce=0,
+        data=TransactionData(
+            "create_contract", contract=contract, money=Money.ziesha(0), state={}
+        ),
+        fee=Money.ziesha(0),
+        memo="A Payment-Network to rule them all!",
+    )
+
+
+def _genesis_header() -> Header:
+    return Header(
+        parent_hash=bytes(32),
+        number=0,
+        block_root=bytes(32),
+        proof_of_stake=ProofOfStake(
+            validator=TREASURY, timestamp=CHAIN_START_TIMESTAMP, proof=None
+        ),
+    )
+
+
+def blockchain_config_template(
+    deposit_vk=None, withdraw_vk=None, update_vk=None
+) -> BlockchainConfig:
+    dvk = deposit_vk or ZkVerifierKey.dummy()
+    wvk = withdraw_vk or ZkVerifierKey.dummy()
+    uvk = update_vk or ZkVerifierKey.dummy()
+    mpn_tx = get_mpn_contract_tx(
+        MPN_LOG4_TREE_SIZE,
+        MPN_LOG4_TOKENS_TREE_SIZE,
+        MPN_LOG4_DEPOSIT_BATCH_SIZE,
+        MPN_LOG4_WITHDRAW_BATCH_SIZE,
+        dvk, wvk, uvk,
+    )
+    mpn_contract_id = ContractId.from_tx(mpn_tx)
+    ziesha_tx = get_ziesha_token_creation_tx()
+    ziesha_token_id = ContractId.from_tx(ziesha_tx)
+
+    genesis = Block(header=_genesis_header(), body=[ziesha_tx, mpn_tx])
+    return BlockchainConfig(
+        genesis=genesis,
+        ziesha_token_id=ziesha_token_id,
+        mpn_config=MpnConfig(
+            log4_tree_size=MPN_LOG4_TREE_SIZE,
+            log4_token_tree_size=MPN_LOG4_TOKENS_TREE_SIZE,
+            log4_deposit_batch_size=MPN_LOG4_DEPOSIT_BATCH_SIZE,
+            log4_withdraw_batch_size=MPN_LOG4_WITHDRAW_BATCH_SIZE,
+            log4_update_batch_size=MPN_LOG4_UPDATE_BATCH_SIZE,
+            mpn_contract_id=mpn_contract_id,
+            mpn_num_update_batches=1,
+            mpn_num_deposit_batches=1,
+            mpn_num_withdraw_batches=1,
+            deposit_vk=dvk, withdraw_vk=wvk, update_vk=uvk,
+        ),
+        reward_ratio=10_000_000,
+        max_block_size=MB,
+        testnet_height_limit=TESTNET_HEIGHT_LIMIT,
+        max_memo_length=64,
+        slot_duration=90,
+        slot_per_epoch=10,
+        chain_start_timestamp=CHAIN_START_TIMESTAMP,
+        check_validator=True,
+        max_validator_commission=Ratio(26),
+        teleport_log4_tree_size=10,
+        teleport_contract_id=ContractId.NULL,
+    )
+
+
+def get_blockchain_config() -> BlockchainConfig:
+    """Mainnet-shaped config.  VKs are generated deterministically by the
+    dev keygen until a ceremony replaces them (reference dev-mode:
+    src/config/blockchain.rs:355-417)."""
+    return blockchain_config_template()
+
+
+def get_test_blockchain_config() -> BlockchainConfig:
+    """Small-tree test chain: Dummy VKs, 0 required MPN batches,
+    validator checks off, fast slots."""
+    conf = blockchain_config_template()
+    mpn_tx = get_mpn_contract_tx(
+        3, 1, 1, 1,
+        ZkVerifierKey.dummy(), ZkVerifierKey.dummy(), ZkVerifierKey.dummy(),
+    )
+    mpn_contract_id = ContractId.from_tx(mpn_tx)
+    conf.mpn_config = MpnConfig(
+        log4_tree_size=3,
+        log4_token_tree_size=1,
+        log4_deposit_batch_size=1,
+        log4_withdraw_batch_size=1,
+        log4_update_batch_size=1,
+        mpn_contract_id=mpn_contract_id,
+        mpn_num_update_batches=0,
+        mpn_num_deposit_batches=0,
+        mpn_num_withdraw_batches=0,
+        deposit_vk=ZkVerifierKey.dummy(),
+        withdraw_vk=ZkVerifierKey.dummy(),
+        update_vk=ZkVerifierKey.dummy(),
+    )
+    conf.genesis.body[1] = mpn_tx
+    conf.testnet_height_limit = None
+    conf.chain_start_timestamp = 0
+    conf.check_validator = False
+    conf.slot_duration = 5
+    conf.reward_ratio = 100_000
+    conf.genesis.header.proof_of_stake.timestamp = 0
+
+    abc = TxBuilder(b"ABC")
+    delegator = TxBuilder(b"DELEGATOR")
+    conf.genesis.body.append(
+        Transaction(
+            src=None, nonce=0,
+            data=TransactionData(
+                "regular_send",
+                entries=[RegularSendEntry(abc.get_address(), Money.ziesha(10000))],
+            ),
+            fee=Money.ziesha(0), memo="Dummy tx",
+        )
+    )
+    conf.genesis.body.append(
+        Transaction(
+            src=None, nonce=0,
+            data=TransactionData(
+                "regular_send",
+                entries=[RegularSendEntry(delegator.get_address(), Money.ziesha(100))],
+            ),
+            fee=Money.ziesha(0), memo="",
+        )
+    )
+    for seed in (b"VALIDATOR", b"VALIDATOR2", b"VALIDATOR3"):
+        val = TxBuilder(seed)
+        reg = val.register_validator("Test validator", Ratio(12), Money.ziesha(0), 0)
+        # genesis txs are internal (treasury-mode): nonce 0, unsigned allowed
+        conf.genesis.body.append(reg.tx)
+        conf.genesis.body.append(
+            delegator.delegate("", val.get_address(), 25, Money.ziesha(0), 0).tx
+        )
+    return conf

@@ -52,7 +52,7 @@ def parse_general_address(s: str) -> GeneralAddress:
 TX_KINDS = ("tx_delta", "mpn_deposit", "mpn_transaction", "mpn_withdraw")
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=True)
 class NonceGroup:
     """Mempool queue key: (kind, sender address)
     (reference: src/core/mod.rs:124-155)."""
@@ -62,6 +62,14 @@ class NonceGroup:
 
     def __post_init__(self):
         assert self.kind in TX_KINDS, self.kind
+
+    def __hash__(self):
+        # explicit because the dataclass-generated __hash__ would resolve
+        # `hash` from this module's globals, where the .hash submodule
+        # shadows the builtin
+        import builtins
+
+        return builtins.hash((self.kind, self.address))
 
 
 class GeneralTransaction:
@@ -132,4 +140,7 @@ class GeneralTransaction:
         )
 
     def __hash__(self):
-        return hash((self.kind, repr(self.inner)))
+        # NB: `hash` the builtin is shadowed by the .hash submodule here
+        import builtins
+
+        return builtins.hash((self.kind, repr(self.inner)))

@@ -71,20 +71,33 @@ def delegatee_prefix(delegator: str) -> str:
 
 
 def delegator_rank(delegatee: str, amount: int, delegator: str) -> str:
-    # descending-amount iteration via bitwise-complement zero-padded amount
-    return f"DRK-{delegatee}-{(2**64 - 1 - amount):020d}-{delegator}"
+    # descending-amount iteration via bitwise-complement hex amount
+    return f"DRK-{delegatee}-{(2**64 - 1 - amount):016x}-{delegator}"
 
 
 def delegator_rank_prefix(delegatee: str) -> str:
     return f"DRK-{delegatee}-"
 
 
+def delegatee_rank(delegator: str, amount: int, delegatee: str) -> str:
+    return f"DEK-{delegator}-{(2**64 - 1 - amount):016x}-{delegatee}"
+
+
+def delegatee_rank_prefix(delegator: str) -> str:
+    return f"DEK-{delegator}-"
+
+
 def staker_rank(amount: int, address: str) -> str:
-    return f"SRK-{(2**64 - 1 - amount):020d}-{address}"
+    return f"SRK-{(2**64 - 1 - amount):016x}-{address}"
 
 
 def staker_rank_prefix() -> str:
     return "SRK-"
+
+
+def rank_amount(key_part: str) -> int:
+    """Recover the amount from an inverted-hex rank-key component."""
+    return (2**64 - 1) - int(key_part, 16)
 
 
 def undelegation(undelegator: str, undelegation_id: str) -> str:
