@@ -2,9 +2,18 @@
 (host pairing).  Model: the reference's per-gadget prove/verify tests
 (reference: src/zk/groth16/gadgets/*/test.rs) — accept AND reject paths."""
 
+import os
+
 import pytest
 
 from bazuka_tpu.fields.host import FR_MODULUS
+
+# Full prove/verify on CPU takes minutes (full-width MSMs at toy lane
+# counts are dispatch-bound); gate behind BAZUKA_SLOW_TESTS.
+slow = pytest.mark.skipif(
+    not os.environ.get("BAZUKA_SLOW_TESTS"),
+    reason="set BAZUKA_SLOW_TESTS=1 to run full prove/verify on CPU",
+)
 from bazuka_tpu.groth16.keygen import generate_parameters
 from bazuka_tpu.groth16.prove import create_proof
 from bazuka_tpu.groth16.r1cs import ONE, ConstraintSystem, lc
@@ -42,6 +51,7 @@ def test_cs_satisfaction():
     assert bad.is_satisfied() == 0
 
 
+@slow
 def test_prove_verify_roundtrip(params):
     cs, z = multiply_circuit(3, 5)
     proof = create_proof(params, cs, r=7, s=11)
@@ -52,6 +62,7 @@ def test_prove_verify_roundtrip(params):
     assert not groth16_verify(params.vk, [z, 0], proof)
 
 
+@slow
 def test_proof_is_randomized_but_both_verify(params):
     cs, z = multiply_circuit(4, 6)
     p1 = create_proof(params, cs, r=1, s=2)
@@ -61,6 +72,7 @@ def test_proof_is_randomized_but_both_verify(params):
     assert groth16_verify(params.vk, [z], p2)
 
 
+@slow
 def test_tampered_proof_rejects(params):
     cs, z = multiply_circuit(2, 9)
     proof = create_proof(params, cs, r=5, s=6)
@@ -71,6 +83,7 @@ def test_tampered_proof_rejects(params):
     assert not groth16_verify(params.vk, [z], tampered)
 
 
+@slow
 def test_unsatisfied_witness_fails_to_verify(params):
     # craft an assignment violating x*y = z; proof must not verify
     cs = ConstraintSystem()
