@@ -132,6 +132,19 @@ class GeneralTransaction:
             return t.verify_signature()
         return t.verify_signature()
 
+    _TAGS = {"tx_delta": 0, "mpn_deposit": 1, "mpn_transaction": 2, "mpn_withdraw": 3}
+    _CLASSES = None  # filled below
+
+    def write_to(self, w):
+        w.variant(self._TAGS[self.kind])
+        self.inner.write_to(w)
+
+    @staticmethod
+    def read_from(r):
+        tag = r.variant()
+        cls = GeneralTransaction._CLASSES[tag]
+        return GeneralTransaction(cls.read_from(r))
+
     def __eq__(self, other):
         return (
             isinstance(other, GeneralTransaction)
@@ -144,3 +157,11 @@ class GeneralTransaction:
         import builtins
 
         return builtins.hash((self.kind, repr(self.inner)))
+
+
+GeneralTransaction._CLASSES = {
+    0: TransactionAndDelta,
+    1: MpnDeposit,
+    2: MpnTransaction,
+    3: MpnWithdraw,
+}

@@ -1,0 +1,196 @@
+"""Multi-node simulation tests (model: reference src/node/test/):
+peer discovery, block sync, clock sync, fault injection, API surface."""
+
+import asyncio
+
+import pytest
+
+from bazuka_tpu.client import NodeRequest, to_hex
+from bazuka_tpu.config.blockchain import get_test_blockchain_config
+from bazuka_tpu.core import GeneralTransaction
+from bazuka_tpu.core.transaction import Money
+from bazuka_tpu.node.simulation import Rule, Simulation, catch_change
+from bazuka_tpu.wallet.tx_builder import TxBuilder
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def make_sim(n=2, rules=()):
+    sim = Simulation()
+    conf = get_test_blockchain_config()
+    for i in range(n):
+        sim.add_node(3030 + i, conf, bootstrap=[3030 + j for j in range(n) if j != i])
+    sim.rules.extend(rules)
+    return sim
+
+
+def test_peers_discover_each_other():
+    async def body():
+        sim = make_sim(3)
+        await sim.start()
+        try:
+            await catch_change(
+                lambda: all(
+                    node.context.peer_manager.node_count() >= 2
+                    for node in sim.nodes.values()
+                ),
+                timeout=15.0,
+            )
+        finally:
+            await sim.stop()
+        for node in sim.nodes.values():
+            assert node.context.peer_manager.node_count() >= 2
+
+    run(body())
+
+
+def test_blocks_sync_between_nodes():
+    async def body():
+        sim = make_sim(2)
+        n0 = sim.nodes[3030]
+        n1 = sim.nodes[3031]
+        # node 0 produces a block before the network starts
+        val = TxBuilder(b"VALIDATOR")
+        blk = n0.context.blockchain.draft_block(10, [], val, check=True)
+        n0.context.blockchain.apply_block(blk)
+        assert n0.context.blockchain.get_height() == 2
+        assert n1.context.blockchain.get_height() == 1
+        await sim.start()
+        try:
+            await catch_change(
+                lambda: n1.context.blockchain.get_height(), timeout=15.0
+            )
+        finally:
+            await sim.stop()
+        assert n1.context.blockchain.get_height() == 2
+        assert (
+            n1.context.blockchain.get_tip().hash()
+            == n0.context.blockchain.get_tip().hash()
+        )
+
+    run(body())
+
+
+def test_drop_rule_blocks_sync():
+    async def body():
+        rules = [Rule("drop", path="/bincode/headers")]
+        sim = make_sim(2, rules)
+        n0, n1 = sim.nodes[3030], sim.nodes[3031]
+        val = TxBuilder(b"VALIDATOR")
+        blk = n0.context.blockchain.draft_block(10, [], val, check=True)
+        n0.context.blockchain.apply_block(blk)
+        await sim.start()
+        await asyncio.sleep(2.0)
+        await sim.stop()
+        # headers endpoint dropped -> no sync
+        assert n1.context.blockchain.get_height() == 1
+
+    run(body())
+
+
+def test_mempool_propagates():
+    async def body():
+        sim = make_sim(2)
+        n0, n1 = sim.nodes[3030], sim.nodes[3031]
+        abc = TxBuilder(b"ABC")
+        bob = TxBuilder(b"BOB")
+        td = abc.create_transaction("", bob.get_address(), Money.ziesha(10),
+                                    Money.ziesha(1), 1)
+        n0.context.mempool.min_balance_per_tx = 1
+        n1.context.mempool.min_balance_per_tx = 1
+        n0.context.mempool_add_tx(True, GeneralTransaction(td))
+        assert len(n0.context.mempool) == 1
+        await sim.start()
+        try:
+            await catch_change(lambda: len(n1.context.mempool), timeout=15.0)
+        finally:
+            await sim.stop()
+        assert len(n1.context.mempool) == 1
+
+    run(body())
+
+
+def test_api_surface():
+    async def body():
+        sim = make_sim(1)
+        node = sim.nodes[3030]
+        # direct request submission (local)
+        await sim.start()
+        try:
+            sender = sim.sender("127.0.0.1")
+            from bazuka_tpu.client import PeerAddress
+
+            peer = PeerAddress("10.0.0.1", 3030)
+            stats = await sender.json_get(peer, "/stats")
+            assert stats["height"] == 1
+            assert stats["network"] == "sim"
+            abc = TxBuilder(b"ABC")
+            bal = await sender.json_get(
+                peer, "/balance",
+                {"address": str(abc.get_address()), "token_id": "Ziesha"},
+            )
+            assert bal["balance"] == 10000
+            acct = await sender.json_get(
+                peer, "/account", {"address": str(abc.get_address())}
+            )
+            assert acct["nonce"] == 0
+            expl = await sender.json_get(peer, "/explorer/blocks", {"since": 0, "count": 5})
+            assert len(expl["blocks"]) == 1
+            stakers = await sender.json_get(peer, "/explorer/stakers")
+            assert len(stakers["stakers"]) == 3
+            dbg = await sender.json_get(peer, "/debug")
+            assert dbg["height"] == 1
+            missing = await sender.request(
+                peer, NodeRequest("GET", "/nonexistent")
+            )
+            assert missing.status == 404
+        finally:
+            await sim.stop()
+
+    run(body())
+
+
+def test_shutdown_forbidden_remotely():
+    async def body():
+        sim = make_sim(1)
+        await sim.start()
+        try:
+            sender = sim.sender("9.9.9.9")  # non-local caller
+            from bazuka_tpu.client import PeerAddress
+
+            resp = await sender.request(
+                PeerAddress("10.0.0.1", 3030), NodeRequest("POST", "/shutdown")
+            )
+            assert resp.status == 403
+            assert not sim.nodes[3030].context.shutdown
+        finally:
+            await sim.stop()
+
+    run(body())
+
+
+def test_transact_endpoint():
+    async def body():
+        sim = make_sim(1)
+        node = sim.nodes[3030]
+        node.context.mempool.min_balance_per_tx = 1
+        await sim.start()
+        try:
+            from bazuka_tpu.client import PeerAddress
+
+            sender = sim.sender("127.0.0.1")
+            abc = TxBuilder(b"ABC")
+            bob = TxBuilder(b"BOB")
+            td = abc.create_transaction("", bob.get_address(), Money.ziesha(5),
+                                        Money.ziesha(1), 1)
+            await sender.json_post(
+                PeerAddress("10.0.0.1", 3030), "/bincode/transact",
+                {"tx": to_hex(GeneralTransaction(td))},
+            )
+            assert len(node.context.mempool) == 1
+        finally:
+            await sim.stop()
+
+    run(body())
