@@ -272,11 +272,38 @@ class LimbField:
         s, _ = self._carry(t + mp)  # low n limbs become zero; no carry-out
         return self._cond_sub_p(s[..., n:])
 
+    # Pallas fast path: on TPU, large-batch Montgomery muls run as a
+    # fused VMEM kernel (~40x the jnp path, which is HBM-bound on its
+    # (B, n, 2n) intermediates).  "auto" enables it when the default
+    # backend is TPU; tests on CPU keep the jnp path (the kernel's
+    # bit-exactness is asserted separately via interpret mode).
+    use_pallas: str = "auto"  # "auto" | "always" | "never"
+    _PALLAS_MIN_BATCH = 2048
+
+    def _pallas_ok(self, shape) -> bool:
+        if self.backend != "jax" or self.use_pallas == "never":
+            return False
+        batch = 1
+        for d in shape[:-1]:
+            batch *= d
+        if batch < self._PALLAS_MIN_BATCH:
+            return False
+        if self.use_pallas == "always":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu"
+
     def mont_mul(self, a, b):
+        shape = np.broadcast_shapes(tuple(a.shape), tuple(b.shape))
+        if self._pallas_ok(shape):
+            from ..ops.pallas_field import pallas_mont_mul
+
+            return pallas_mont_mul(self, a, b)
         return self.redc(self.mul_wide(a, b))
 
     def mont_sqr(self, a):
-        return self.redc(self.mul_wide(a, a))
+        return self.mont_mul(a, a)
 
     def to_mont(self, a):
         r2 = self.xp.asarray(int_to_limbs(self.R2, self.n))

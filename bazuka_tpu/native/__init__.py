@@ -1,0 +1,113 @@
+"""Native (C++) host runtime components, loaded via ctypes.
+
+The host side of the framework mirrors the reference's compiled-native
+footing where it's hot: Poseidon hashing dominates witness generation
+(sparse-tree rehash paths), so it runs in a C++ engine with 4x64-limb
+Montgomery arithmetic.  Built on first use with g++ (no pip deps);
+falls back silently to the pure-Python twin if no toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "poseidon.cpp")
+_SO = os.path.join(os.path.expanduser("~/.cache"), "bazuka_tpu_native", "poseidon.so")
+
+_lib = None
+_lock = threading.Lock()
+_initialized_widths = set()
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.poseidon_init.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.poseidon_hash.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.poseidon_hash_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _ensure_width(t: int):
+    if t in _initialized_widths:
+        return
+    from ..zk.poseidon_host import params_for_width
+
+    p = params_for_width(t)
+    rc = b"".join(int(x).to_bytes(32, "little") for x in p.round_constants)
+    mds = b"".join(
+        int(x).to_bytes(32, "little") for row in p.mds for x in row
+    )
+    _lib.poseidon_init(
+        t, p.full_rounds, p.partial_rounds,
+        rc, len(p.round_constants), mds, t * t,
+    )
+    _initialized_widths.add(t)
+
+
+def native_poseidon(vals) -> int | None:
+    """Hash via the native engine; None if the engine is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    arity = len(vals)
+    t = arity + 1
+    with _lock:
+        _ensure_width(t)
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    out = ctypes.create_string_buffer(32)
+    lib.poseidon_hash(arity, buf, out)
+    return int.from_bytes(out.raw, "little")
+
+
+def native_poseidon_batch(arity: int, flat_vals) -> list | None:
+    """Hash n inputs of the same arity; flat_vals length n*arity ints."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(flat_vals) // arity
+    t = arity + 1
+    with _lock:
+        _ensure_width(t)
+    buf = b"".join(int(v).to_bytes(32, "little") for v in flat_vals)
+    out = ctypes.create_string_buffer(32 * n)
+    lib.poseidon_hash_batch(arity, n, buf, out)
+    return [
+        int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "little") for i in range(n)
+    ]

@@ -131,44 +131,68 @@ def _msm_fn(K, b3, n: int, c: int, nbits: int = 255):
         total = suffix_scan(suffix)
         return _pmap(lambda x: x[1], total)
 
-    def run(P, scalars):
-        # one traced window body via scan (compile time ∝ 1 window, not 64)
-        bidx_all = jnp.stack(
-            [_window_bits(scalars, w, c) for w in range(n_windows)]
-        )
+    def combine(wins):
+        """wins: stacked window points (n_windows leading axis), highest
+        window first; result = fold of c doublings + add."""
 
-        def window_body(carry, bidx):
-            return carry, one_window(P, bidx)
-
-        _, wins = jax.lax.scan(window_body, 0, bidx_all)
-
-        def combine(res, wpt):
+        def body(w, res):
             def dbl(_, r):
                 return wst.proj_double(K, r, b3)
 
             res = jax.lax.fori_loop(0, c, dbl, res)
-            return wst.proj_add(K, res, wpt, b3), None
+            wpt = _pmap(lambda x: x[w], wins)
+            return wst.proj_add(K, res, wpt, b3)
 
-        wins_rev = _pmap(lambda x: x[::-1], wins)
-        res, _ = jax.lax.scan(combine, wst.proj_identity(K, ()), wins_rev)
-        return res
+        return jax.lax.fori_loop(0, n_windows, body, wst.proj_identity(K, ()))
+
+    return one_window, combine
+
+
+def _msm_fused_fn(K, b3, n: int, c: int, nbits: int = 255):
+    """Single-trace MSM (windows unrolled) — used inside shard_map where
+    per-window dispatch isn't possible.  Intended for small per-shard
+    sizes; the dispatch-per-window path (`msm`) is the primary driver."""
+    one_window, combine = _msm_fn(K, b3, n, c, nbits)
+    n_windows = (nbits + c - 1) // c
+    import jax.numpy as jnp
+
+    def run(P, scalars):
+        wins = [
+            one_window(P, _window_bits(scalars, w, c))
+            for w in range(n_windows - 1, -1, -1)
+        ]
+        stacked = tuple(
+            tuple(jnp.stack([w[ci][sub] for w in wins]) for sub in range(2))
+            if isinstance(wins[0][ci], tuple)
+            else jnp.stack([w[ci] for w in wins])
+            for ci in range(3)
+        )
+        return combine(stacked)
 
     return run
 
 
 @functools.cache
 def _msm_compiled(kind: str, backend: str, n: int, c: int, nbits: int = 255):
+    """Returns (window_fn, combine_fn), each jitted separately.
+
+    The windows are dispatched from a Python loop rather than fused into
+    one graph: the fully-fused scan-over-windows program hit TPU device
+    faults at N >= 2^14 even though every individual construct runs
+    clean in isolation — per-window dispatch sidesteps the bad fusion
+    and compiles one window body total."""
     wst.warmup(backend)
     if kind == "g1":
         K, b3 = wst.fp_ops(backend), wst.g1_b3(backend)
     else:
         K, b3 = wst.fp2_ops(backend), wst.g2_b3(backend)
-    fn = _msm_fn(K, b3, n, c, nbits)
+    window_fn, combine_fn = _msm_fn(K, b3, n, c, nbits)
     if backend == "jax":
         import jax
 
-        fn = jax.jit(fn)
-    return fn
+        window_fn = jax.jit(window_fn)
+        combine_fn = jax.jit(combine_fn)
+    return window_fn, combine_fn
 
 
 def msm(P, scalars, kind: str = "g1", backend: str = "jax", c: int | None = None,
@@ -176,11 +200,26 @@ def msm(P, scalars, kind: str = "g1", backend: str = "jax", c: int | None = None
     """MSM over projective limb points.  P: projective tuple with leading
     axis N; scalars: (N, 16) standard-form Fr limbs.  Returns one
     (unbatched) projective limb point."""
+    import jax.numpy as jnp
+
     n = scalars.shape[0]
     if c is None:
         c = _choose_c(n)
     assert 16 % c == 0, "window must divide the 16-bit limb"
-    return _msm_compiled(kind, backend, n, c, nbits)(P, scalars)
+    n_windows = (nbits + c - 1) // c
+    window_fn, combine_fn = _msm_compiled(kind, backend, n, c, nbits)
+    xp = jnp if backend == "jax" else np
+    wins = [
+        window_fn(P, _window_bits(scalars, w, c))
+        for w in range(n_windows - 1, -1, -1)  # highest window first
+    ]
+    stacked = tuple(
+        tuple(xp.stack([w[ci][sub] for w in wins]) for sub in range(2))
+        if isinstance(wins[0][ci], tuple)
+        else xp.stack([w[ci] for w in wins])
+        for ci in range(3)
+    )
+    return combine_fn(stacked)
 
 
 # ---------------------------------------------------------------- host APIs

@@ -65,7 +65,7 @@ def _msm_sharded_fn(kind: str, backend: str, n_local: int, c: int, nbits: int,
         K, b3 = wst.fp_ops(backend), wst.g1_b3(backend)
     else:
         K, b3 = wst.fp2_ops(backend), wst.g2_b3(backend)
-    local_msm = msm_mod._msm_fn(K, b3, n_local, c, nbits)
+    local_msm = msm_mod._msm_fused_fn(K, b3, n_local, c, nbits)
 
     def partial(P_pts, scalars):
         # runs per-device on its shard; returns coords with a

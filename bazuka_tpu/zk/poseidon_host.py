@@ -96,6 +96,21 @@ def _permute(elements: list, params: PoseidonParams) -> list:
 
 @functools.lru_cache(maxsize=4096)
 def _poseidon_cached(vals: tuple) -> int:
+    # native C++ engine when available (~100x; bit-exactness asserted in
+    # tests), pure-Python twin otherwise
+    from ..native import native_poseidon
+
+    out = native_poseidon(vals)
+    if out is not None:
+        return out
+    params = params_for_width(len(vals) + 1)
+    el = [0] + [v % _P for v in vals]
+    return _permute(el, params)[1]
+
+
+def poseidon_python(vals) -> int:
+    """Pure-Python Poseidon (the native engine's oracle)."""
+    vals = tuple(int(v) for v in vals)
     params = params_for_width(len(vals) + 1)
     el = [0] + [v % _P for v in vals]
     return _permute(el, params)[1]
