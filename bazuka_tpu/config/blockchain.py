@@ -120,8 +120,19 @@ def _genesis_header() -> Header:
     )
 
 
+def load_initial_balances(path: str):
+    """Initial L1 balances from a JSON file `{ "ed...": amount, ... }`
+    (stands in for the reference's 13.9k hardcoded entries,
+    src/config/initials.rs)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return [(Address.parse(addr), int(amount)) for addr, amount in data.items()]
+
+
 def blockchain_config_template(
-    deposit_vk=None, withdraw_vk=None, update_vk=None
+    deposit_vk=None, withdraw_vk=None, update_vk=None, initial_balances=()
 ) -> BlockchainConfig:
     dvk = deposit_vk or ZkVerifierKey.dummy()
     wvk = withdraw_vk or ZkVerifierKey.dummy()
@@ -138,6 +149,17 @@ def blockchain_config_template(
     ziesha_token_id = ContractId.from_tx(ziesha_tx)
 
     genesis = Block(header=_genesis_header(), body=[ziesha_tx, mpn_tx])
+    for addr, amount in initial_balances:
+        genesis.body.append(
+            Transaction(
+                src=None, nonce=0,
+                data=TransactionData(
+                    "regular_send",
+                    entries=[RegularSendEntry(addr, Money.ziesha(amount))],
+                ),
+                fee=Money.ziesha(0), memo="",
+            )
+        )
     return BlockchainConfig(
         genesis=genesis,
         ziesha_token_id=ziesha_token_id,

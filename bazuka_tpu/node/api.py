@@ -230,21 +230,14 @@ async def post_mpn_worker(ctx: NodeContext, req):
 
 
 async def get_explorer_blocks(ctx: NodeContext, req):
+    """Full JSON block mirrors (reference: src/client/explorer.rs)."""
+    from .explorer import block_to_json
+
     since = int(req.query.get("since", "0"))
     count = min(int(req.query.get("count", "10")), 100)
-    out = []
-    for b in ctx.blockchain.get_blocks(since, count):
-        out.append(
-            {
-                "number": b.header.number,
-                "hash": b.header.hash().hex(),
-                "parent_hash": b.header.parent_hash.hex(),
-                "timestamp": b.header.proof_of_stake.timestamp,
-                "validator": str(b.header.proof_of_stake.validator),
-                "num_txs": len(b.body),
-            }
-        )
-    return {"blocks": out}
+    return {
+        "blocks": [block_to_json(b) for b in ctx.blockchain.get_blocks(since, count)]
+    }
 
 
 async def get_explorer_stakers(ctx: NodeContext, req):

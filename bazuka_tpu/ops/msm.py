@@ -104,6 +104,11 @@ def _msm_fn(K, b3, n: int, c: int, nbits: int = 255):
         order = jnp.argsort(bidx)
         counts = jnp.bincount(bidx, length=n_buckets).astype(jnp.int32)
         offsets = jnp.cumsum(counts) - counts
+        # bucket 0 has weight 0 in Σ j·B_j — never accumulate it.  This
+        # also bounds the loop: a window whose scalar bits are all zero
+        # (common in QAP witnesses) would otherwise run N rounds and trip
+        # the TPU watchdog.
+        counts = counts.at[0].set(0)
         max_count = jnp.max(counts)
         sorted_pts = _gather(P, order)
         acc = wst.proj_identity(K, (n_buckets,))
@@ -256,7 +261,7 @@ def msm_g2_host(points, scalars, backend: str = "jax", c: int | None = None,
 # ---------------------------------------------------------------- bench
 
 
-def bench_entry(log_n: int = 18, iters: int = 3):
+def bench_entry(log_n: int = 18, iters: int = 3, c: int = 16):
     """Driver benchmark: G1 MSM points/s at 2^log_n (BASELINE.json metric).
     Baseline: bellman CPU Pippenger ≈ 0.5M points/s on a 32-core host
     (BASELINE.md: no published numbers; derived estimate)."""
@@ -272,15 +277,18 @@ def bench_entry(log_n: int = 18, iters: int = 3):
     # n distinct points: k*G for small k (cheap to build host-side)
     base_pts = [bls.g1_mul(bls.G1_GEN, int(k)) for k in range(1, 65)]
     pts = [base_pts[i % 64] for i in range(n)]
-    scalars = [int(x) for x in rng.integers(0, 2**63, size=n)]
+    scalars = [
+        (int(a) << 192 | int(b) << 128 | int(c2) << 64 | int(d)) % bls.R
+        for a, b, c2, d in rng.integers(0, 2**63, size=(n, 4))
+    ]
     P = wst.g1_to_proj(K, pts)
     s = _enc_scalars(scalars, "jax")
-    out = msm(P, s, "g1")  # compile
-    jax.block_until_ready(out)
+    out = msm(P, s, "g1", c=c)  # compile
+    jax.block_until_ready(out[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = msm(P, s, "g1")
-        jax.block_until_ready(out)
+        out = msm(P, s, "g1", c=c)
+        jax.block_until_ready(out[0])
     dt = (time.perf_counter() - t0) / iters
     rate = n / dt
     return {

@@ -1,0 +1,200 @@
+"""Fused Pallas kernel for the complete G1 point addition (RCB15 a=0).
+
+One kernel call = the entire 12-mul + ~29-add/sub formula, all
+register/VMEM-resident in limb-major (n, S, 128) layout.  This removes
+the remaining HBM-bound jnp add/sub traffic that dominated the MSM after
+the Montgomery-mul kernel landed (measured: proj_add was ~5x slower than
+its mul count implies).
+
+Field element lists-of-rows convention: a value is a list of n rows,
+each row a (S_TILE, 128) uint32 array of one 16-bit limb across the
+batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..fields.limbs import W, LimbField
+from .pallas_field import LANE, SUBLANE
+
+S_TILE = 8
+
+
+def field_emitters(F: LimbField):
+    """In-kernel field ops over lists of limb rows (jnp on vregs)."""
+    import jax.numpy as jnp
+
+    n = F.n
+    mask = 0xFFFF  # python ints: avoid captured device constants in pallas
+    big = 1 << W
+    p_limbs = [int(x) for x in np.asarray(F.p_limbs)]
+    pinv_limbs = [int(x) for x in np.asarray(F.p_inv_neg_limbs)]
+
+    def carry(rows):
+        out = []
+        c = jnp.zeros_like(rows[0])
+        for r in rows:
+            v = r + c
+            out.append(v & mask)
+            c = v >> W
+        return out, c
+
+    def conv(x_rows, y_rows, out_len):
+        acc = [None] * out_len
+        for i in range(len(x_rows)):
+            xi = x_rows[i]
+            for j in range(len(y_rows)):
+                if i + j >= out_len:
+                    continue
+                prod = xi * y_rows[j]
+                lo = prod & mask
+                acc[i + j] = lo if acc[i + j] is None else acc[i + j] + lo
+                if i + j + 1 < out_len:
+                    hi = prod >> W
+                    acc[i + j + 1] = (
+                        hi if acc[i + j + 1] is None else acc[i + j + 1] + hi
+                    )
+        zero = jnp.zeros_like(x_rows[0])
+        return [zero if r is None else r for r in acc]
+
+    def sub_raw(a_rows, b_rows):
+        out = []
+        borrow = jnp.zeros_like(a_rows[0])
+        for k in range(n):
+            t = a_rows[k] + big - b_rows[k] - borrow
+            out.append(t & mask)
+            borrow = 1 - (t >> W)
+        return out, borrow
+
+    def cond_sub_p(rows):
+        diff, borrow = sub_raw(rows, [jnp.full(rows[0].shape, pr, jnp.uint32) for pr in p_limbs])
+        keep = borrow != 0
+        return [jnp.where(keep, rows[k], diff[k]) for k in range(n)]
+
+    def fadd(a_rows, b_rows):
+        s, _ = carry([a_rows[k] + b_rows[k] for k in range(n)])
+        return cond_sub_p(s)
+
+    def fsub(a_rows, b_rows):
+        d, borrow = sub_raw(a_rows, b_rows)
+        dp, _ = carry([d[k] + p_limbs[k] for k in range(n)])
+        under = borrow != 0
+        return [jnp.where(under, dp[k], d[k]) for k in range(n)]
+
+    def fmul(a_rows, b_rows):
+        t_rows, _ = carry(conv(a_rows, b_rows, 2 * n))
+        pinv_rows = pinv_limbs
+        m_rows, _ = carry(conv(t_rows[:n], pinv_rows, n))
+        mp_rows, _ = carry(conv(m_rows, p_limbs, 2 * n))
+        s_rows, _ = carry([t_rows[k] + mp_rows[k] for k in range(2 * n)])
+        return cond_sub_p(s_rows[n:])
+
+    return fadd, fsub, fmul
+
+
+@functools.cache
+def _g1_add_call(S: int, interpret: bool):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..fields.limbs import fp_field
+    from .weierstrass import G1_B3
+
+    F = fp_field("jax")
+    n = F.n
+    fadd, fsub, fmul = field_emitters(F)
+    b3_mont = (G1_B3 * F.R_mod_p) % F.p
+    b3_limbs = [int((b3_mont >> (16 * i)) & 0xFFFF) for i in range(n)]
+
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        import jax.numpy as jnp
+
+        X1 = [x1[i] for i in range(n)]
+        Y1 = [y1[i] for i in range(n)]
+        Z1 = [z1[i] for i in range(n)]
+        X2 = [x2[i] for i in range(n)]
+        Y2 = [y2[i] for i in range(n)]
+        Z2 = [z2[i] for i in range(n)]
+        b3 = [jnp.full(X1[0].shape, v, jnp.uint32) for v in b3_limbs]
+
+        t0 = fmul(X1, X2)
+        t1 = fmul(Y1, Y2)
+        t2 = fmul(Z1, Z2)
+        t3 = fmul(fadd(X1, Y1), fadd(X2, Y2))
+        t3 = fsub(t3, fadd(t0, t1))
+        t4 = fmul(fadd(Y1, Z1), fadd(Y2, Z2))
+        t4 = fsub(t4, fadd(t1, t2))
+        w_ = fmul(fadd(X1, Z1), fadd(X2, Z2))
+        Y3 = fsub(w_, fadd(t0, t2))
+        X3 = fadd(fadd(t0, t0), t0)
+        t2b = fmul(b3, t2)
+        Z3 = fadd(t1, t2b)
+        t1m = fsub(t1, t2b)
+        Y3b = fmul(b3, Y3)
+        X3r = fsub(fmul(t3, t1m), fmul(t4, Y3b))
+        Y3r = fadd(fmul(Y3b, X3), fmul(t1m, Z3))
+        Z3r = fadd(fmul(Z3, t4), fmul(X3, t3))
+        for k in range(n):
+            ox[k] = X3r[k]
+            oy[k] = Y3r[k]
+            oz[k] = Z3r[k]
+
+    def call(x1, y1, z1, x2, y2, z2):
+        spec = pl.BlockSpec((n, S_TILE, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        shapes = tuple(
+            jax.ShapeDtypeStruct((n, S, LANE), np.uint32) for _ in range(3)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(S // S_TILE,),
+            out_shape=shapes,
+            in_specs=[spec] * 6,
+            out_specs=(spec, spec, spec),
+            interpret=interpret,
+        )(x1, y1, z1, x2, y2, z2)
+
+    return jax.jit(call)
+
+
+def _to_limb_major(x, n, S):
+    return x.T.reshape(n, S, LANE)
+
+
+def _from_limb_major(xT, n, B):
+    return xT.reshape(n, -1).T[:B]
+
+
+def pallas_g1_add(P, Q, interpret: bool = False):
+    """Fused complete G1 add.  P, Q: projective tuples of (B, 24) uint32
+    Montgomery limb arrays (broadcast-compatible); returns same."""
+    import jax.numpy as jnp
+
+    from ..fields.limbs import fp_field
+
+    F = fp_field("jax")
+    n = F.n
+    coords = []
+    # broadcast all six coordinates to a common batch shape
+    shape = np.broadcast_shapes(*[tuple(c.shape) for c in (*P, *Q)])
+    for c in (*P, *Q):
+        coords.append(jnp.broadcast_to(c, shape))
+    B = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    tile = SUBLANE * LANE
+    pad = (-B) % tile
+    flat = []
+    for c in coords:
+        cf = c.reshape(B, n)
+        if pad:
+            cf = jnp.concatenate([cf, jnp.zeros((pad, n), jnp.uint32)], axis=0)
+        flat.append(_to_limb_major(cf, n, (B + pad) // LANE))
+    S = (B + pad) // LANE
+    ox, oy, oz = _g1_add_call(S, interpret)(*flat)
+    out = tuple(
+        _from_limb_major(o, n, B).reshape(shape) for o in (ox, oy, oz)
+    )
+    return out

@@ -171,11 +171,38 @@ def proj_identity(K, shape=()):
     return (K.zero(shape), K.one(shape), K.zero(shape))
 
 
+def _pallas_add_ok(K, P, Q) -> bool:
+    """Route G1 adds through the fused Pallas kernel on TPU when the
+    batch is large (the jnp path's add/sub chains are HBM-bound)."""
+    if not isinstance(K, FpOps) or K.backend != "jax":
+        return False
+    if getattr(K.F, "use_pallas", "never") == "never":
+        return False
+    import numpy as _np
+
+    shape = _np.broadcast_shapes(*[tuple(c.shape) for c in (*P, *Q)])
+    batch = 1
+    for d in shape[:-1]:
+        batch *= d
+    if batch < K.F._PALLAS_MIN_BATCH:
+        return False
+    if K.F.use_pallas == "always":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def proj_add(K, P, Q, b3):
     """Complete addition, RCB15 algorithm 7 (a = 0), b3 = 3*b as a field
     constant.  12 field muls grouped by dependency level into 3 stacked
     mont_mul calls (compile-time: one mul body instead of twelve);
-    handles all edge cases branch-free."""
+    handles all edge cases branch-free.  Large G1 batches on TPU take the
+    fused Pallas kernel instead (ops.pallas_curve)."""
+    if _pallas_add_ok(K, P, Q):
+        from .pallas_curve import pallas_g1_add
+
+        return pallas_g1_add(P, Q)
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
     # level 1: all products of the inputs
