@@ -114,8 +114,9 @@ def _mont_mul_call(n: int, S: int, interpret: bool, field_key: str):
     kernel = _kernel_body(F)
 
     # tile the batch: per-block (n, S_TILE, 128) operands keep scratch
-    # rows + accumulators well under the 16MB VMEM budget
-    S_TILE = min(S, 16)
+    # rows + accumulators well under the 16MB VMEM budget.  S is always a
+    # multiple of 8 (the wrapper pads to 8*128); prefer 16 when it divides.
+    S_TILE = 16 if S % 16 == 0 else 8
     assert S % S_TILE == 0
 
     def call(aT, bT):
