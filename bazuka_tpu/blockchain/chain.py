@@ -1152,7 +1152,9 @@ class KvStoreChain:
     # ------------------------------------------------ misc
 
     def min_validator_reward(self, validator: Address) -> int:
-        return 0
+        """The reward the validator will receive for the next block (the
+        proving-job rewards are carved out of this)."""
+        return self.next_reward()
 
     def check_tx(self, tx: Transaction):
         self.isolated(lambda chain: chain._apply_tx_inner(tx, False))

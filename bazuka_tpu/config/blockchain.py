@@ -196,6 +196,54 @@ def get_blockchain_config() -> BlockchainConfig:
     return blockchain_config_template()
 
 
+def get_dev_blockchain_config(
+    log4_tree: int = 3, log4_token_tree: int = 1, log4_batch: int = 1,
+    seed: bytes = b"bazuka-tpu-dev",
+) -> BlockchainConfig:
+    """Dev-mode chain with REAL in-process Groth16 parameter generation
+    for small MPN circuits (reference `--dev --small-mpn`:
+    src/config/blockchain.rs:355-417).  Keygen runs the batched
+    fixed-base kernels — minutes on a TPU, slower on CPU."""
+    from ..groth16.keygen import generate_parameters
+    from ..mpn import circuits as circ_mod
+
+    vks = {}
+    for name, cls in (
+        ("deposit", circ_mod.DepositCircuit),
+        ("withdraw", circ_mod.WithdrawCircuit),
+        ("update", circ_mod.UpdateCircuit),
+    ):
+        circuit = cls.empty(log4_tree, log4_token_tree, log4_batch)
+        cs = circ_mod.synthesize_circuit(circuit)
+        params = generate_parameters(cs, seed=seed + name.encode())
+        vks[name] = ZkVerifierKey.groth16(params.vk)
+
+    conf = blockchain_config_template(
+        deposit_vk=vks["deposit"], withdraw_vk=vks["withdraw"],
+        update_vk=vks["update"],
+    )
+    mpn_tx = get_mpn_contract_tx(
+        log4_tree, log4_token_tree, log4_batch, log4_batch,
+        vks["deposit"], vks["withdraw"], vks["update"],
+    )
+    conf.mpn_config = MpnConfig(
+        log4_tree_size=log4_tree,
+        log4_token_tree_size=log4_token_tree,
+        log4_deposit_batch_size=log4_batch,
+        log4_withdraw_batch_size=log4_batch,
+        log4_update_batch_size=log4_batch,
+        mpn_contract_id=ContractId.from_tx(mpn_tx),
+        deposit_vk=vks["deposit"], withdraw_vk=vks["withdraw"],
+        update_vk=vks["update"],
+    )
+    conf.genesis.body[1] = mpn_tx
+    conf.check_validator = False
+    conf.chain_start_timestamp = 0
+    conf.genesis.header.proof_of_stake.timestamp = 0
+    conf.testnet_height_limit = None
+    return conf
+
+
 def get_test_blockchain_config() -> BlockchainConfig:
     """Small-tree test chain: Dummy VKs, 0 required MPN batches,
     validator checks off, fast slots."""

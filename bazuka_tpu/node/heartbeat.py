@@ -206,18 +206,95 @@ async def sync_mempool(node):
 
 
 async def generate_block(node):
-    """VRF claim -> (MPN workpool) -> draft + broadcast
+    """VRF claim -> prepare MPN work pool -> poll -> draft + broadcast
     (reference: heartbeat/generate_block.rs)."""
+    from ..mpn.workpool import prepare_works
+    from .context import ValidatorClaim
+
     ctx = node.context
-    if not ctx.opts.automatic_block_generation:
-        return
     ts = ctx.network_timestamp()
     proof = ctx.blockchain.validator_status(ts, ctx.validator_wallet)
-    if proof is None and ctx.blockchain.config.check_validator:
+
+    if proof is None and not ctx.blockchain.config.check_validator:
+        # test chains: produce without election
+        if ctx.opts.automatic_block_generation:
+            draft = ctx.try_produce(ctx.validator_wallet)
+            if draft is not None:
+                await promote_block(node, draft)
         return
-    draft = ctx.try_produce(ctx.validator_wallet)
-    if draft is not None:
-        await promote_block(node, draft)
+
+    if proof is not None:
+        tip_es = ctx.blockchain.epoch_slot(
+            ctx.blockchain.get_tip().proof_of_stake.timestamp
+        )
+        if ctx.blockchain.epoch_slot(ts) <= tip_es:
+            return
+        if ctx.address is None:
+            return
+        claim = ctx.validator_wallet.claim_validator(ts, proof, ctx.address)
+        if ctx.update_validator_claim(claim) and ctx.opts.automatic_block_generation:
+            cfg = ctx.blockchain.config.mpn_config
+            validator_reward = ctx.blockchain.min_validator_reward(
+                ctx.validator_wallet.get_address()
+            )
+            ctx.mpn_work_pool = prepare_works(
+                cfg,
+                ctx.blockchain,
+                ctx.mpn_workers,
+                [tx for tx, _ in ctx.mempool.mpn_deposits()],
+                [tx for tx, _ in ctx.mempool.mpn_withdraws()],
+                [tx for tx, _ in ctx.mempool.mpn_txs()],
+                validator_reward,
+                validator_reward // 100 * 5,
+                validator_reward // 100 * 5,
+                validator_reward // 100 * 15,
+                ctx.blockchain.get_deposit_nonce(
+                    ctx.validator_wallet.get_address(), cfg.mpn_contract_id
+                ),
+                ctx.validator_wallet,
+                ctx.user_wallet,
+            )
+        if ctx.mpn_work_pool is not None:
+            wallet = ctx.validator_wallet
+            nonce = ctx.blockchain.get_nonce(wallet.get_address())
+            td = ctx.mpn_work_pool.ready(wallet, nonce + 1)
+            if td is not None:
+                logger.info("All MPN-proofs ready!")
+                from ..core import GeneralTransaction
+
+                ctx.mempool_add_tx(True, GeneralTransaction(td))
+                draft = ctx.try_produce(wallet)
+                if draft is not None:
+                    ctx.mpn_work_pool = None
+                    ctx.validator_claim = None
+                    await promote_block(node, draft)
+        else:
+            await promote_validator_claim(node, claim)
+    else:
+        # no longer elected: late-proof detection + claim invalidation
+        if ctx.validator_claim is not None:
+            if ctx.validator_claim.address == ctx.validator_wallet.get_address():
+                if ctx.mpn_work_pool is not None:
+                    for wid in ctx.mpn_work_pool.remaining_works():
+                        logger.error(f"Solution for work {wid} is late!")
+        ctx.mpn_work_pool = None
+        if ctx.validator_claim is not None and not ctx.blockchain.is_validator(
+            ts, ctx.validator_claim.address, ctx.validator_claim.proof
+        ):
+            ctx.validator_claim = None
+
+
+async def promote_validator_claim(node, claim):
+    """Gossip the winning claim (reference: src/node/mod.rs promote)."""
+    from .api import claim_to_json
+
+    ctx = node.context
+    payload = {"claim": claim_to_json(claim)}
+    for peer in ctx.peer_manager.get_peers():
+        try:
+            await ctx.outgoing.json_post(peer.address, "/claim", payload, Limit(time=3.0))
+        except Exception:
+            pass
 
 
 async def promote_block(node, block: Block):

@@ -129,6 +129,16 @@ class TxBuilder:
             )
         )
 
+    def claim_validator(self, timestamp: int, proof, node):
+        """Signed claim to the current slot (reference: tx_builder.rs:187-203)."""
+        from ..node.context import ValidatorClaim
+
+        claim = ValidatorClaim(
+            timestamp=timestamp, address=self.address, proof=proof, node=node
+        )
+        claim.sig = Ed25519.sign(self._sk, claim.signing_bytes())
+        return claim
+
     def create_contract(
         self, memo: str, contract: ZkContract, initial_state: dict,
         money: Money, fee: Money, nonce: int,
