@@ -161,6 +161,128 @@ def _g1_add_call(S: int, interpret: bool):
     return jax.jit(call)
 
 
+@functools.cache
+def _g2_add_call(S: int, interpret: bool):
+    """Fused complete G2 add: same RCB15 skeleton over Fp2 rows
+    (Karatsuba on the in-kernel Fp emitters)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..fields.limbs import fp_field
+    from .weierstrass import G2_B3
+
+    F = fp_field("jax")
+    n = F.n
+    fadd, fsub, fmul = field_emitters(F)
+
+    def f2add(a, b):
+        return (fadd(a[0], b[0]), fadd(a[1], b[1]))
+
+    def f2sub(a, b):
+        return (fsub(a[0], b[0]), fsub(a[1], b[1]))
+
+    def f2mul(a, b):
+        t0 = fmul(a[0], b[0])
+        t1 = fmul(a[1], b[1])
+        t2 = fmul(fadd(a[0], a[1]), fadd(b[0], b[1]))
+        return (fsub(t0, t1), fsub(fsub(t2, t0), t1))
+
+    def mont_limbs(x: int):
+        xm = (x * F.R_mod_p) % F.p
+        return [int((xm >> (16 * i)) & 0xFFFF) for i in range(n)]
+
+    b3c0 = mont_limbs(G2_B3[0])
+    b3c1 = mont_limbs(G2_B3[1])
+
+    def kernel(*refs):
+        import jax.numpy as jnp
+
+        ins = refs[:12]
+        outs = refs[12:]
+
+        def rd(ref):
+            return [ref[i] for i in range(n)]
+
+        X1 = (rd(ins[0]), rd(ins[1]))
+        Y1 = (rd(ins[2]), rd(ins[3]))
+        Z1 = (rd(ins[4]), rd(ins[5]))
+        X2 = (rd(ins[6]), rd(ins[7]))
+        Y2 = (rd(ins[8]), rd(ins[9]))
+        Z2 = (rd(ins[10]), rd(ins[11]))
+        shape = X1[0][0].shape
+        b3 = (
+            [jnp.full(shape, v, jnp.uint32) for v in b3c0],
+            [jnp.full(shape, v, jnp.uint32) for v in b3c1],
+        )
+
+        t0 = f2mul(X1, X2)
+        t1 = f2mul(Y1, Y2)
+        t2 = f2mul(Z1, Z2)
+        t3 = f2mul(f2add(X1, Y1), f2add(X2, Y2))
+        t3 = f2sub(t3, f2add(t0, t1))
+        t4 = f2mul(f2add(Y1, Z1), f2add(Y2, Z2))
+        t4 = f2sub(t4, f2add(t1, t2))
+        w_ = f2mul(f2add(X1, Z1), f2add(X2, Z2))
+        Y3 = f2sub(w_, f2add(t0, t2))
+        X3 = f2add(f2add(t0, t0), t0)
+        t2b = f2mul(b3, t2)
+        Z3 = f2add(t1, t2b)
+        t1m = f2sub(t1, t2b)
+        Y3b = f2mul(b3, Y3)
+        X3r = f2sub(f2mul(t3, t1m), f2mul(t4, Y3b))
+        Y3r = f2add(f2mul(Y3b, X3), f2mul(t1m, Z3))
+        Z3r = f2add(f2mul(Z3, t4), f2mul(X3, t3))
+        for comp, val in zip(outs, (X3r[0], X3r[1], Y3r[0], Y3r[1], Z3r[0], Z3r[1])):
+            for k in range(n):
+                comp[k] = val[k]
+
+    def call(*flat):
+        spec = pl.BlockSpec((n, S_TILE, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        shapes = tuple(
+            jax.ShapeDtypeStruct((n, S, LANE), np.uint32) for _ in range(6)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(S // S_TILE,),
+            out_shape=shapes,
+            in_specs=[spec] * 12,
+            out_specs=(spec,) * 6,
+            interpret=interpret,
+        )(*flat)
+
+    return jax.jit(call)
+
+
+def pallas_g2_add(P, Q, interpret: bool = False):
+    """Fused complete G2 add.  P, Q: projective tuples of Fp2 coords,
+    each coord a pair of (B, 24) uint32 Montgomery limb arrays."""
+    import jax.numpy as jnp
+
+    from ..fields.limbs import fp_field
+
+    F = fp_field("jax")
+    n = F.n
+    comps = []
+    for coord in (*P, *Q):
+        comps.extend([coord[0], coord[1]])
+    shape = np.broadcast_shapes(*[tuple(c.shape) for c in comps])
+    B = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    tile = SUBLANE * LANE
+    pad = (-B) % tile
+    flat = []
+    for c in comps:
+        cf = jnp.broadcast_to(c, shape).reshape(B, n)
+        if pad:
+            cf = jnp.concatenate([cf, jnp.zeros((pad, n), jnp.uint32)], axis=0)
+        flat.append(_to_limb_major(cf, n, (B + pad) // LANE))
+    S = (B + pad) // LANE
+    outs = _g2_add_call(S, interpret)(*flat)
+    o = [_from_limb_major(x, n, B).reshape(shape) for x in outs]
+    return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+
+
 def _to_limb_major(x, n, S):
     return x.T.reshape(n, S, LANE)
 

@@ -172,15 +172,16 @@ def proj_identity(K, shape=()):
 
 
 def _pallas_add_ok(K, P, Q) -> bool:
-    """Route G1 adds through the fused Pallas kernel on TPU when the
+    """Route curve adds through the fused Pallas kernels on TPU when the
     batch is large (the jnp path's add/sub chains are HBM-bound)."""
-    if not isinstance(K, FpOps) or K.backend != "jax":
-        return False
-    if getattr(K.F, "use_pallas", "never") == "never":
+    if K.backend != "jax" or getattr(K.F, "use_pallas", "never") == "never":
         return False
     import numpy as _np
 
-    shape = _np.broadcast_shapes(*[tuple(c.shape) for c in (*P, *Q)])
+    coords = []
+    for c in (*P, *Q):
+        coords.extend(c) if isinstance(c, tuple) else coords.append(c)
+    shape = _np.broadcast_shapes(*[tuple(c.shape) for c in coords])
     batch = 1
     for d in shape[:-1]:
         batch *= d
@@ -200,9 +201,13 @@ def proj_add(K, P, Q, b3):
     handles all edge cases branch-free.  Large G1 batches on TPU take the
     fused Pallas kernel instead (ops.pallas_curve)."""
     if _pallas_add_ok(K, P, Q):
-        from .pallas_curve import pallas_g1_add
+        if isinstance(K, FpOps):
+            from .pallas_curve import pallas_g1_add
 
-        return pallas_g1_add(P, Q)
+            return pallas_g1_add(P, Q)
+        from .pallas_curve import pallas_g2_add
+
+        return pallas_g2_add(P, Q)
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
     # level 1: all products of the inputs
