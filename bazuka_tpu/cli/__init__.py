@@ -258,6 +258,73 @@ def cmd_wallet_new_token(args):
     return 0
 
 
+def cmd_wallet_undelegate(args):
+    from ..core.money import Decimal
+    from ..core.transaction import Money
+    from ..crypto.ed25519 import PublicKey
+
+    wc = _open_wallet()
+    tb = wc.user(0).tx_builder()
+    client = _local_client()
+    acct = asyncio.run(client.get_account(str(tb.get_address())))
+    tx = tb.undelegate(
+        args.memo, PublicKey.parse(args.frm),
+        Decimal.parse(args.amount).to_amount(9), Money.ziesha(0),
+        acct["nonce"] + 1,
+    )
+    _send_tx(tx)
+    return 0
+
+
+def cmd_wallet_auto_delegate(args):
+    from ..core.money import Ratio
+    from ..core.transaction import Money
+    from ..crypto.ed25519 import PublicKey
+
+    wc = _open_wallet()
+    tb = wc.user(0).tx_builder()
+    client = _local_client()
+    acct = asyncio.run(client.get_account(str(tb.get_address())))
+    tx = tb.auto_delegate(
+        args.memo, PublicKey.parse(args.to), Ratio.from_float(args.ratio),
+        Money.ziesha(0), acct["nonce"] + 1,
+    )
+    _send_tx(tx)
+    return 0
+
+
+def cmd_wallet_add_token(args):
+    from ..core.transaction import ContractId
+
+    wc = _open_wallet()
+    wc.user(0).add_token(ContractId.parse(args.token_id))
+    wc.save(wallet_path())
+    print("Token added.")
+    return 0
+
+
+def cmd_wallet_reset(args):
+    wc = _open_wallet()
+    for w in wc.wallets.values():
+        w.reset()
+    wc.save(wallet_path())
+    print("Pending transactions cleared.")
+    return 0
+
+
+def cmd_wallet_resend_pending(args):
+    wc = _open_wallet()
+    client = _local_client()
+    count = 0
+    for w in wc.wallets.values():
+        for txs in w.txs.values():
+            for tx in txs:
+                asyncio.run(client.transact(tx))
+                count += 1
+    print(f"Resent {count} pending transactions.")
+    return 0
+
+
 def cmd_chain_rollback(args):
     chain = _chain()
     chain.rollback()
@@ -332,6 +399,21 @@ def build_parser():
     ntok.add_argument("--decimals", type=int, default=9)
     ntok.add_argument("--memo", default="")
     ntok.set_defaults(fn=cmd_wallet_new_token)
+    undele = wallet.add_parser("undelegate")
+    undele.add_argument("--from", dest="frm", required=True)
+    undele.add_argument("--amount", required=True)
+    undele.add_argument("--memo", default="")
+    undele.set_defaults(fn=cmd_wallet_undelegate)
+    adel = wallet.add_parser("auto-delegate")
+    adel.add_argument("--to", required=True)
+    adel.add_argument("--ratio", type=float, required=True)
+    adel.add_argument("--memo", default="")
+    adel.set_defaults(fn=cmd_wallet_auto_delegate)
+    atok = wallet.add_parser("add-token")
+    atok.add_argument("token_id")
+    atok.set_defaults(fn=cmd_wallet_add_token)
+    wallet.add_parser("reset").set_defaults(fn=cmd_wallet_reset)
+    wallet.add_parser("resend-pending").set_defaults(fn=cmd_wallet_resend_pending)
 
     chain = sub.add_parser("chain", help="Chain commands").add_subparsers(
         dest="sub", required=True

@@ -348,6 +348,12 @@ async def node_service(ctx: NodeContext, req: NodeRequest, is_local: bool) -> No
         if not is_local:
             return NodeResponse(403, b"{}")
         return _json_resp(await shutdown(ctx, req))
+    if key == ("POST", "/generate_block"):
+        # test-only block production trigger (reference: src/node/mod.rs:221-226)
+        if not is_local:
+            return NodeResponse(403, b"{}")
+        draft = ctx.try_produce(ctx.validator_wallet)
+        return _json_resp({"produced": draft is not None})
     if key in (("POST", "/bincode/transact"), ("POST", "/transact/zero")):
         return _json_resp(await transact(ctx, req, is_local))
     handler = ROUTES.get(key)
