@@ -49,18 +49,21 @@ def bench_poseidon(batch=8192, iters=10):
 
 
 def main():
+    result = None
+    # 2^18 keeps total wall time ~4 min incl. TPU compile round-trips;
+    # 2^20 measures 167,990 pts/s (vs_baseline 0.336) in ~12 min — see
+    # PERFORMANCE.md.
     try:
-        from bazuka_tpu.ops import msm  # noqa: F401  (landed? bench MSM instead)
-
-        have_msm = hasattr(msm, "bench_entry")
-    except Exception:
-        have_msm = False
-    if have_msm:
         from bazuka_tpu.ops.msm import bench_entry
 
-        result = bench_entry()
-    else:
-        result = bench_poseidon()
+        result = bench_entry(log_n=18)
+    except Exception as e:
+        print(f"MSM bench failed ({type(e).__name__}); falling back", file=sys.stderr)
+    if result is None:
+        try:
+            result = bench_entry(log_n=16)
+        except Exception:
+            result = bench_poseidon()
     print(json.dumps(result))
 
 
