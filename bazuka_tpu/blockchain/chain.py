@@ -931,6 +931,9 @@ class KvStoreChain:
         for i, wd in enumerate(withdraws):
             if wd.contract_id != cid or wd.withdraw_circuit_id != circuit_id:
                 raise E.DepositWithdrawPassedToWrongFunction()
+            # withdraw fees go to the update executor (reference:
+            # ops/apply_tx/update_contract/withdraw.rs:38)
+            executor_fees.append(wd.fee)
             builder.batch_set(
                 {
                     (i, 0): 1,
@@ -975,14 +978,27 @@ class KvStoreChain:
         token = self.get_token(cid)
         if token is None:
             raise E.Inconsistency("token missing")
+        bal = self.get_contract_balance(cid, cid)
+        # amounts are u64-serialized; overflow must reject, mirroring the
+        # reference's checked adds (mint.rs:13-15)
+        U64_MAX = (1 << 64) - 1
+        if bal + amount > U64_MAX or token.supply + amount > U64_MAX:
+            raise E.TokenSupplyOverflow()
         token.supply += amount
         self.db.update([Put(keys.token(str(cid)), ser.dumps(token))])
-        bal = self.get_contract_balance(cid, cid)
         self.db.update(
             [Put(keys.contract_balance(str(cid), str(cid)), u64_to_blob(bal + amount))]
         )
-        aux = PoseidonHasher.hash([amount])
-        return func.verifier_key, ZkCompressedState(aux, 0)
+        # aux_data = compressed Scalar state whose root IS the amount
+        # (mint.rs:32-36: ZkStateBuilder over ZkStateModel::Scalar), and the
+        # minted amount is credited to the update executor (mint.rs:38-41)
+        from ..fields.host import FR_MODULUS
+
+        aux_scalar = amount % FR_MODULUS
+        executor_fees.append(Money(cid, amount))
+        return func.verifier_key, ZkCompressedState(
+            aux_scalar, 1 if aux_scalar else 0
+        )
 
     # -- L1<->contract bridges (reference: ops/apply_deposit.rs, apply_withdraw.rs)
 

@@ -127,3 +127,7 @@ class RandomnessChangeNotPermitted(BlockchainError):
 
 class TestnetHeightLimitReached(BlockchainError):
     pass
+
+
+class TokenSupplyOverflow(BlockchainError):
+    pass

@@ -131,12 +131,38 @@ def load_initial_balances(path: str):
     return [(Address.parse(addr), int(amount)) for addr, amount in data.items()]
 
 
+def load_mainnet_vks() -> dict:
+    """The three MPN ceremony VKs, decoded from the reference's hardcoded
+    bincode blobs (src/config/blockchain.rs:31-38; extracted to
+    zk/data/mpn_*_vk.bin by tools/extract_mpn_vks.py).  Every point is
+    re-validated (on-curve + prime-order subgroup) on load; a missing or
+    corrupt file raises — the mainnet config must NEVER fall back to
+    dummy verifier keys (cf. the reference's #[cfg(test)] Dummy gating)."""
+    import importlib.resources as res
+
+    from ..zk.wire import decode_vk, validate_vk_points
+
+    out = {}
+    data_dir = res.files("bazuka_tpu.zk") / "data"
+    for name in ("deposit", "withdraw", "update"):
+        raw = (data_dir / f"mpn_{name}_vk.bin").read_bytes()
+        vk = decode_vk(raw)
+        err = validate_vk_points(vk)
+        if err is not None:
+            raise ValueError(f"mainnet {name} VK invalid: {err}")
+        out[name] = ZkVerifierKey.groth16(vk)
+    return out
+
+
 def blockchain_config_template(
     deposit_vk=None, withdraw_vk=None, update_vk=None, initial_balances=()
 ) -> BlockchainConfig:
-    dvk = deposit_vk or ZkVerifierKey.dummy()
-    wvk = withdraw_vk or ZkVerifierKey.dummy()
-    uvk = update_vk or ZkVerifierKey.dummy()
+    if deposit_vk is None or withdraw_vk is None or update_vk is None:
+        mainnet = load_mainnet_vks()
+        deposit_vk = deposit_vk or mainnet["deposit"]
+        withdraw_vk = withdraw_vk or mainnet["withdraw"]
+        update_vk = update_vk or mainnet["update"]
+    dvk, wvk, uvk = deposit_vk, withdraw_vk, update_vk
     mpn_tx = get_mpn_contract_tx(
         MPN_LOG4_TREE_SIZE,
         MPN_LOG4_TOKENS_TREE_SIZE,
@@ -190,9 +216,8 @@ def blockchain_config_template(
 
 
 def get_blockchain_config() -> BlockchainConfig:
-    """Mainnet-shaped config.  VKs are generated deterministically by the
-    dev keygen until a ceremony replaces them (reference dev-mode:
-    src/config/blockchain.rs:355-417)."""
+    """Mainnet config: real ceremony VKs (hard failure if the VK data is
+    missing — dummy proofs are rejected outside explicit test configs)."""
     return blockchain_config_template()
 
 
@@ -246,8 +271,13 @@ def get_dev_blockchain_config(
 
 def get_test_blockchain_config() -> BlockchainConfig:
     """Small-tree test chain: Dummy VKs, 0 required MPN batches,
-    validator checks off, fast slots."""
-    conf = blockchain_config_template()
+    validator checks off, fast slots.  Flips the dummy-proof gate the way
+    the reference's #[cfg(test)] does."""
+    from ..zk.proof import allow_dummy_proofs
+
+    allow_dummy_proofs(True)
+    dummy = ZkVerifierKey.dummy()
+    conf = blockchain_config_template(dummy, dummy, dummy)
     mpn_tx = get_mpn_contract_tx(
         3, 1, 1, 1,
         ZkVerifierKey.dummy(), ZkVerifierKey.dummy(), ZkVerifierKey.dummy(),

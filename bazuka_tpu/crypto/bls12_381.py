@@ -95,6 +95,27 @@ def g1_mul(p: G1Point, k: int) -> G1Point:
     return result
 
 
+def _mul_nored(add, p, k: int):
+    """Double-and-add WITHOUT reducing k mod R — needed for subgroup
+    checks, where g1_mul's `k %= R` would turn [R]P into [0]P = identity
+    for every point."""
+    result = None
+    addend = p
+    while k:
+        if k & 1:
+            result = add(result, addend)
+        addend = add(addend, addend)
+        k >>= 1
+    return result
+
+
+def g1_in_subgroup(p: G1Point) -> bool:
+    """Prime-order-subgroup membership: [R]P == identity.  G1's cofactor
+    is ~2^125, so on-curve does not imply order R (bellman checks this at
+    deserialization; untrusted wire points must too)."""
+    return p is None or _mul_nored(g1_add, p, R) is None
+
+
 # ---------------------------------------------------------------- G2
 
 
@@ -141,6 +162,11 @@ def g2_mul(p: G2Point, k: int) -> G2Point:
         addend = g2_add(addend, addend)
         k >>= 1
     return result
+
+
+def g2_in_subgroup(p: G2Point) -> bool:
+    """[R]P == identity over G2 (cofactor ~2^250)."""
+    return p is None or _mul_nored(g2_add, p, R) is None
 
 
 # ---------------------------------------------------------------- pairing

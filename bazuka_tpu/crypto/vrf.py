@@ -124,6 +124,13 @@ class VRF:
     def verify(pk: PublicKey, message: bytes, out: Output, proof: Proof) -> bool:
         if not jj.is_on_curve(pk.point) or not jj.is_on_curve(out.point):
             return False
+        # Prime-order-subgroup membership: JubJub has cofactor 8, so a
+        # torsion-shifted output O+T would otherwise also pass the DLEQ
+        # check, giving a staker multiple valid outputs per slot (output
+        # uniqueness is what the reference's sr25519 VRF guarantees).
+        for p in (pk.point, out.point):
+            if jj.point_mul(p, jj.ORDER) != jj.ZERO:
+                return False
         hm = _hash_to_curve(message)
         c, s = proof.c % jj.ORDER, proof.s % jj.ORDER
         # R1 = s·B − c·A ;  R2 = s·Hm − c·O

@@ -22,11 +22,14 @@ def groth16_verify(
     a = wire_g1(proof.a)
     b = wire_g2(proof.b)
     c = wire_g1(proof.c)
-    # points must be on-curve (wire values are untrusted)
+    # points must be on-curve AND in the prime-order subgroup (wire
+    # values are untrusted; BLS12-381 cofactors admit small-order
+    # components, and bellman enforces subgroup checks at
+    # deserialization — matching that closes proof malleability)
     for p in (a, c):
-        if not bls.g1_is_on_curve(p):
+        if not bls.g1_is_on_curve(p) or not bls.g1_in_subgroup(p):
             return False
-    if not bls.g2_is_on_curve(b):
+    if not bls.g2_is_on_curve(b) or not bls.g2_in_subgroup(b):
         return False
     ic_sum = wire_g1(vk.ic[0])
     for x, icw in zip(public_inputs, vk.ic[1:]):

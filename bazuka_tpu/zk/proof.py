@@ -218,6 +218,17 @@ def read_token_contract(r: ser.Reader) -> ZkTokenContract:
 
 # ---------------------------------------------------------------- dispatch
 
+# The reference compiles the Dummy VK/proof variants only under
+# #[cfg(test)] (src/zk/mod.rs:184-191) — on a real chain a dummy proof
+# must never verify.  Python has no cfg(test), so the test configs flip
+# this flag explicitly; it is off by default.
+_ALLOW_DUMMY = False
+
+
+def allow_dummy_proofs(flag: bool = True):
+    global _ALLOW_DUMMY
+    _ALLOW_DUMMY = flag
+
 
 def check_proof(
     vk: ZkVerifierKey,
@@ -242,5 +253,5 @@ def check_proof(
             proof.proof,
         )
     if vk.kind == "dummy":
-        return proof.kind == "dummy" and proof.ok
+        return _ALLOW_DUMMY and proof.kind == "dummy" and proof.ok
     return False
