@@ -1,90 +1,52 @@
-"""Groth16 prover: QAP witness reduction on TPU NTTs + MSMs.
+"""Groth16 prover: device-side witness reduction + TPU NTTs and MSMs.
 
 Pipeline (bellman-equivalent math, TPU execution; SURVEY.md §3.2):
-  1. evaluate a_j, b_j, c_j per extended constraint row (sparse matvec)
+  1. a_j, b_j, c_j per extended constraint row — device sparse matvec
+     over the COO matrices (groth16.sparse), no Python per-row loops
   2. h(x) = (a(x)·b(x) − c(x)) / Z(x) via 3 iNTT + 3 coset NTT + 1 coset
      iNTT on device — on the coset gH, Z ≡ g^d − 1 is a CONSTANT, so the
      division is one batched multiply
   3. A = α + Σ z_i u_i(τ) + rδ;  B = β + Σ z_i v_i(τ) + sδ;
      C = (Σ_aux z_i L_i + Σ h_i H_i) + sA + rB₁ − rsδ
-     — 4 G1 MSMs + 1 G2 MSM (`ops.msm`)
+     — 4 G1 MSMs on the fused limb-major pipeline (ops.pallas_msm) +
+     1 G2 MSM (ops.msm)
 """
 
 from __future__ import annotations
 
 import secrets
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from ..crypto import bls12_381 as bls
 from ..fields.host import FR_GENERATOR, FR_MODULUS
 from ..fields.limbs import fr_field
-from ..ops import msm as msm_mod
 from ..ops import ntt as ntt_mod
-from ..ops import weierstrass as wst
+from ..ops import pallas_msm as pmsm
 from ..zk.proof import Groth16Proof
 from . import qap
 from .keygen import Parameters, g1_wire, g2_wire
 from .r1cs import ConstraintSystem, SynthesisError
+from .sparse import DeviceR1CS
 
 P = FR_MODULUS
 
 
-def _eval_rows(rows, assignment) -> List[int]:
-    out = []
-    for row in rows:
-        acc = 0
-        for var, coeff in row.items():
-            acc += assignment[var] * coeff
-        out.append(acc % P)
-    return out
+def _msm_c(n: int) -> int:
+    """Window size by MSM length: balances accumulation rounds (~n/2^c)
+    against lane count (n_windows * 2^c)."""
+    if n >= 1 << 18:
+        return 12
+    if n >= 1 << 12:
+        return 8
+    return 4
 
 
-def _pad_len(n: int) -> int:
-    """Next power of two (min 16) — MSM kernels compile per size, so all
-    query arrays are padded to pow2 lengths for shape reuse."""
-    p = 16
-    while p < n:
-        p *= 2
-    return p
-
-
-def _device_points(pk, name: str, kind: str, backend: str):
-    key = (name, backend)
-    if key not in pk._device_cache:
-        pts = list(getattr(pk, name))
-        pts += [None] * (_pad_len(len(pts)) - len(pts))
-        if kind == "g1":
-            pk._device_cache[key] = wst.g1_to_proj(wst.fp_ops(backend), pts)
-        else:
-            pk._device_cache[key] = wst.g2_to_proj(wst.fp2_ops(backend), pts)
-    return pk._device_cache[key]
-
-
-def _pad_scalars(Fr, arr, n: int):
-    pad = n - arr.shape[0]
-    if pad == 0:
-        return arr
-    return Fr.xp.concatenate(
-        [arr, Fr.xp.zeros((pad, arr.shape[1]), arr.dtype)], axis=0
-    )
-
-
-def _msm_host_out(P_dev, scalars_std, kind, backend):
-    R = msm_mod.msm(P_dev, scalars_std, kind, backend)
-    if kind == "g1":
-        R = tuple(np.asarray(x)[None] for x in R)
-        return wst.g1_from_proj(wst.fp_ops("np"), R)[0]
-    R = tuple(tuple(np.asarray(x)[None] for x in c) for c in R)
-    return wst.g2_from_proj(wst.fp2_ops("np"), R)[0]
-
-
-def compute_h(a_evals, b_evals, c_evals, d: int, backend: str = "jax"):
-    """h(x) coefficients (length d-1) as standard-form limb array, on device."""
+def compute_h_mont(ea, eb, ec, d: int, backend: str = "jax"):
+    """(d, 16) Montgomery row-evals -> h(x) coefficients (length d-1) as
+    STANDARD-form limbs, on device (ready for the MSM digit extraction)."""
     F = fr_field(backend)
-    enc = lambda vals: F.xp.asarray(F.encode(np.array(vals, dtype=object)))
-    ea, eb, ec = enc(a_evals), enc(b_evals), enc(c_evals)
     # interpolate then re-evaluate on the coset gH
     ca = ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(ea, True, backend), backend)
     cb = ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(eb, True, backend), backend)
@@ -97,6 +59,21 @@ def compute_h(a_evals, b_evals, c_evals, d: int, backend: str = "jax"):
     return F.from_mont(h_coeffs[: d - 1])
 
 
+def _pad_rows(F, x, d: int):
+    n = x.shape[0]
+    if n == d:
+        return x
+    return F.xp.concatenate(
+        [x, F.xp.zeros((d - n, x.shape[1]), x.dtype)], axis=0
+    )
+
+
+def _g2_msm(query, scalars_std, backend: str, plan=None, c: int = 12):
+    """query: ((Np, 4, 24) affine, (Np,) inf) — the v2 G2 pipeline."""
+    return pmsm.msm_lm_g2(query[0], query[1], scalars_std, c=c,
+                          dedup_plan=plan)
+
+
 def create_proof(
     params: Parameters,
     cs: ConstraintSystem,
@@ -104,45 +81,91 @@ def create_proof(
     s: Optional[int] = None,
     backend: str = "jax",
 ) -> Groth16Proof:
+    import os
+    import time as _time
+
+    _timing = bool(os.environ.get("BAZUKA_PROVE_TIMING"))
+    _t = [_time.perf_counter()]
+
+    def _tick(name):
+        if _timing:
+            import jax
+
+            now = _time.perf_counter()
+            print(f"  [prove] {name}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     pk = params.pk
-    num_vars, n_inputs, A, B, C, assignment = cs.reindexed()
-    if any(v is None for v in assignment):
-        raise SynthesisError("constraint system not in proving mode")
+    dev = params.dev_r1cs
+    if dev is None or dev.c.n_constraints != cs.n_constraints:
+        dev = DeviceR1CS(cs.compiled(), backend)
+        params.dev_r1cs = dev
+    n_inputs = dev.c.num_inputs
+    num_vars = dev.c.num_vars
     if r is None:
         r = secrets.randbelow(bls.R)
     if s is None:
         s = secrets.randbelow(bls.R)
 
-    d = qap.domain_size(len(A), n_inputs)
-    Ae, Be, Ce = qap.extend_matrices(A, B, C, n_inputs)
-    a_evals = _eval_rows(Ae, assignment) + [0] * (d - len(Ae))
-    b_evals = _eval_rows(Be, assignment) + [0] * (d - len(Be))
-    c_evals = _eval_rows(Ce, assignment) + [0] * (d - len(Ce))
+    F = fr_field(backend)
+    z_ints = cs.full_assignment()
+    if len(z_ints) != num_vars:
+        raise SynthesisError("assignment/circuit shape mismatch")
+    # pad to the shared MSM query length BEFORE any device op so every
+    # per-proof kernel (to_mont, digit extraction) compiles at one shape
+    Np = pk.a_query[0].shape[0]
+    z_np = np.zeros((Np, 16), np.uint32)
+    z_np[:num_vars] = F.encode(np.array(z_ints, dtype=object), mont=False)
+    z_p = F.xp.asarray(z_np)
+    z_mont = F.to_mont(z_p)  # gathers index < num_vars; pad rows unused
+    _tick("witness encode")
 
-    h_std = compute_h(a_evals, b_evals, c_evals, d, backend)
-
-    Fr = fr_field(backend)
-    z_std = Fr.xp.asarray(
-        Fr.encode(np.array(assignment, dtype=object), mont=False)
+    d = qap.domain_size(dev.c.n_constraints, n_inputs)
+    ea, eb, ec = dev.eval_rows(z_mont)  # (n_rows, 16) mont
+    h_std = compute_h_mont(
+        _pad_rows(F, ea, d), _pad_rows(F, eb, d), _pad_rows(F, ec, d),
+        d, backend,
     )
-    aux_std = z_std[n_inputs:]
+    if _timing:
+        import jax
 
-    a_q = _device_points(pk, "a_query", "g1", backend)
-    b1_q = _device_points(pk, "b_g1_query", "g1", backend)
-    b2_q = _device_points(pk, "b_g2_query", "g2", backend)
-    h_q = _device_points(pk, "h_query", "g1", backend)
-    l_q = _device_points(pk, "l_query", "g1", backend)
+        jax.block_until_ready(h_std)
+    _tick("eval_rows + h(x) NTTs")
 
-    zf = _pad_scalars(Fr, z_std, _pad_len(num_vars))
-    hf = _pad_scalars(Fr, h_std, _pad_len(d - 1))
-    lf = _pad_scalars(Fr, aux_std, _pad_len(num_vars - n_inputs))
-    sum_az = _msm_host_out(a_q, zf, "g1", backend)
-    sum_bz_g1 = _msm_host_out(b1_q, zf, "g1", backend)
-    sum_bz_g2 = _msm_host_out(b2_q, zf, "g2", backend)
-    sum_h = _msm_host_out(h_q, hf, "g1", backend) if d > 1 else None
+    # aux scalars at the same shared length (host relayout, one upload)
+    aux_np = np.zeros((Np, 16), np.uint32)
+    aux_np[: num_vars - n_inputs] = z_np[n_inputs:num_vars]
+    aux_p = F.xp.asarray(aux_np)
+
+    # every G1 query is keygen-padded to the same length Np, so the four
+    # MSMs share ONE compiled device program (scalars zero-padded).
+    # Witness scalars (z, aux) carry huge duplicate groups — hundreds of
+    # thousands of boolean wires — which would blow the bucket drain's
+    # round count; the dedup plans pre-reduce them (pallas_msm.presum).
+    # h scalars are NTT outputs (statistically unique) — no plan.
+    c_full = _msm_c(Np)
+    plan_z = pmsm.make_dedup_plan(z_np)
+    plan_aux = plan_z.derive_shifted(n_inputs)
+    _tick("dedup plans (host np.unique)")
+    sum_az = pmsm.msm_lm(*pk.a_query, z_p, c=c_full, dedup_plan=plan_z)
+    _tick("MSM a")
+    sum_bz_g1 = pmsm.msm_lm(*pk.b_g1_query, z_p, c=c_full, dedup_plan=plan_z)
+    _tick("MSM b_g1")
+    sum_bz_g2 = _g2_msm(pk.b_g2_query, z_p, backend, plan=plan_z,
+                        c=c_full)
+    _tick("MSM b_g2")
+    sum_h = (
+        pmsm.msm_lm(*pk.h_query, _pad_rows(F, h_std, Np), c=c_full)
+        if d > 1
+        else None
+    )
+    _tick("MSM h")
     sum_l = (
-        _msm_host_out(l_q, lf, "g1", backend) if num_vars > n_inputs else None
+        pmsm.msm_lm(*pk.l_query, aux_p, c=c_full, dedup_plan=plan_aux)
+        if num_vars > n_inputs
+        else None
     )
+    _tick("MSM l")
 
     g1a = bls.g1_add
     A_pt = g1a(g1a(pk.alpha_g1, sum_az), bls.g1_mul(pk.delta_g1, r))

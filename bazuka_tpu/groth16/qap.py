@@ -29,14 +29,6 @@ def domain_size(n_constraints: int, n_inputs: int) -> int:
     return d
 
 
-def extend_matrices(A, B, C, n_inputs: int):
-    """Append the per-input rows (input_i)·0 = 0."""
-    A = list(A) + [{i: 1} for i in range(n_inputs)]
-    B = list(B) + [{} for _ in range(n_inputs)]
-    C = list(C) + [{} for _ in range(n_inputs)]
-    return A, B, C
-
-
 def batch_inverse(vals: List[int]) -> List[int]:
     """Montgomery trick: n inversions for 3n muls + 1 inversion."""
     n = len(vals)
@@ -67,31 +59,3 @@ def lagrange_at(tau: int, d: int) -> List[int]:
     inv = batch_inverse(denoms)
     return [pows[j] * z % P * inv[j] % P for j in range(d)]
 
-
-def evaluate_qap_at_tau(
-    A, B, C, num_vars: int, n_inputs: int, tau: int
-) -> Tuple[List[int], List[int], List[int], int]:
-    """u_i(tau), v_i(tau), w_i(tau) per variable, plus Z(tau).
-
-    A/B/C are the UNEXTENDED per-constraint sparse rows; input rows are
-    appended here."""
-    Ae, Be, Ce = extend_matrices(A, B, C, n_inputs)
-    d = domain_size(len(A), n_inputs)
-    L = lagrange_at(tau, d)
-    u = [0] * num_vars
-    v = [0] * num_vars
-    w = [0] * num_vars
-    for j, row in enumerate(Ae):
-        lj = L[j]
-        for var, coeff in row.items():
-            u[var] = (u[var] + coeff * lj) % P
-    for j, row in enumerate(Be):
-        lj = L[j]
-        for var, coeff in row.items():
-            v[var] = (v[var] + coeff * lj) % P
-    for j, row in enumerate(Ce):
-        lj = L[j]
-        for var, coeff in row.items():
-            w[var] = (w[var] + coeff * lj) % P
-    z_tau = (pow(tau, d, P) - 1) % P
-    return u, v, w, z_tau

@@ -1,4 +1,4 @@
-"""R1CS constraint system — the gadget substrate.
+"""R1CS constraint system — the gadget substrate, in array form.
 
 Equivalent in role to bellman's `ConstraintSystem` trait consumed by the
 reference's circuits (reference: src/mpn/circuits/, src/zk/groth16/gadgets/).
@@ -9,12 +9,24 @@ One class serves both modes:
 
 Variables are integers: 0 is the constant ONE; 1..num_inputs are public
 inputs; the rest are aux (witness).  Linear combinations are dicts
-{var: coeff} with coeffs in Fr.
+{var: coeff} at the gadget level — small and ergonomic — but `enforce`
+flattens them IMMEDIATELY into growing COO term arrays
+(row, var, coeff-id), with coefficients deduplicated through a palette:
+a mainnet-scale circuit has millions of terms but only thousands of
+distinct coefficients (±1, powers of two, Poseidon round constants and
+MDS foldings).  This keeps a 10M-constraint system in a few hundred MB
+of int32 arrays instead of tens of GB of per-constraint dicts, and
+hands the prover/keygen device-ready sparse matrices (SURVEY.md §7
+stage 7: vectorized trace evaluation + sparse matvec).
 """
 
 from __future__ import annotations
 
+from array import array
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 from ..fields.host import FR_MODULUS
 
@@ -68,6 +80,25 @@ class SynthesisError(Exception):
     pass
 
 
+@dataclass
+class CompiledR1CS:
+    """Input-major COO form of the three constraint matrices.
+
+    For each matrix m ∈ {A, B, C}: rows[m]/vars[m]/cids[m] are parallel
+    int32 arrays of sparse terms, sorted by row (enforce order), with
+    vars renumbered so ONE is 0, public inputs 1..num_inputs-1 follow in
+    allocation order, and aux variables come after.  palette[cid] is the
+    canonical-int coefficient."""
+
+    num_vars: int
+    num_inputs: int
+    n_constraints: int
+    rows: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    vars: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    cids: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    palette: List[int]
+
+
 class ConstraintSystem:
     """Accumulates constraints a·b = c and (optionally) the assignment."""
 
@@ -77,7 +108,13 @@ class ConstraintSystem:
         self.assignment: List[Optional[int]] = [1]
         self.num_inputs = 1  # includes ONE
         self.input_indices: List[int] = [0]
-        self.constraints: List[Tuple[LC, LC, LC]] = []
+        self.n_constraints = 0
+        # COO term storage per matrix (row-major by construction)
+        self._rows = (array("i"), array("i"), array("i"))
+        self._vars = (array("i"), array("i"), array("i"))
+        self._cids = (array("i"), array("i"), array("i"))
+        self._palette: List[int] = [1]
+        self._coeff_ids: Dict[int, int] = {1: 0}
 
     # ---- allocation
 
@@ -103,8 +140,23 @@ class ConstraintSystem:
 
     # ---- constraints
 
+    def _cid(self, coeff: int) -> int:
+        cid = self._coeff_ids.get(coeff)
+        if cid is None:
+            cid = len(self._palette)
+            self._palette.append(coeff)
+            self._coeff_ids[coeff] = cid
+        return cid
+
     def enforce(self, a: LC, b: LC, c: LC):
-        self.constraints.append((a, b, c))
+        r = self.n_constraints
+        self.n_constraints = r + 1
+        for m, l in enumerate((a, b, c)):
+            rows, vars_, cids = self._rows[m], self._vars[m], self._cids[m]
+            for var, coeff in l.items():
+                rows.append(r)
+                vars_.append(var)
+                cids.append(self._cid(coeff))
 
     # ---- evaluation
 
@@ -121,38 +173,60 @@ class ConstraintSystem:
         return acc % P
 
     def is_satisfied(self) -> Optional[int]:
-        """Index of the first violated constraint, or None if all hold."""
-        for i, (a, b, c) in enumerate(self.constraints):
-            av, bv, cv = self.eval_lc(a), self.eval_lc(b), self.eval_lc(c)
-            if av is None or bv is None or cv is None:
-                raise SynthesisError(f"unassigned variable in constraint {i}")
-            if av * bv % P != cv:
+        """Index of the first violated constraint, or None if all hold.
+        Host-side check over the COO arrays (test/debug path)."""
+        if any(v is None for v in self.assignment):
+            raise SynthesisError("unassigned variable")
+        evals = []
+        for m in range(3):
+            acc = [0] * self.n_constraints
+            rows, vars_, cids = self._rows[m], self._vars[m], self._cids[m]
+            pal, assign = self._palette, self.assignment
+            for t in range(len(rows)):
+                acc[rows[t]] += assign[vars_[t]] * pal[cids[t]]
+            evals.append(acc)
+        for i in range(self.n_constraints):
+            if evals[0][i] * evals[1][i] % P != evals[2][i] % P:
                 return i
         return None
 
     # ---- canonical matrices (input-major reindexing)
 
-    def reindexed(self):
-        """Return (num_vars, num_inputs, A, B, C, full_assignment) with
-        variables renumbered so inputs occupy 0..num_inputs-1 (ONE first,
-        then public inputs in allocation order) and aux follow.  Matrices
-        are lists (one per constraint) of {new_var: coeff}."""
-        remap = {}
-        for new, old in enumerate(self.input_indices):
-            remap[old] = new
-        nxt = len(self.input_indices)
-        for old in range(len(self.assignment)):
-            if old not in remap:
-                remap[old] = nxt
-                nxt += 1
+    def _remap(self) -> np.ndarray:
+        """old var index -> input-major new index."""
+        n = len(self.assignment)
+        remap = np.full(n, -1, dtype=np.int32)
+        inputs = np.asarray(self.input_indices, dtype=np.int64)
+        remap[inputs] = np.arange(len(inputs), dtype=np.int32)
+        aux_mask = remap < 0
+        remap[aux_mask] = len(inputs) + np.arange(
+            int(aux_mask.sum()), dtype=np.int32
+        )
+        return remap
 
-        def remap_lc(l: LC) -> LC:
-            return {remap[v]: c for v, c in l.items()}
+    def compiled(self) -> CompiledR1CS:
+        remap = self._remap()
+        rows = tuple(np.frombuffer(r, dtype=np.int32).copy() for r in self._rows)
+        vars_ = tuple(
+            remap[np.frombuffer(v, dtype=np.int32)] for v in self._vars
+        )
+        cids = tuple(np.frombuffer(c, dtype=np.int32).copy() for c in self._cids)
+        return CompiledR1CS(
+            num_vars=len(self.assignment),
+            num_inputs=self.num_inputs,
+            n_constraints=self.n_constraints,
+            rows=rows,
+            vars=vars_,
+            cids=cids,
+            palette=list(self._palette),
+        )
 
-        A = [remap_lc(a) for a, _, _ in self.constraints]
-        B = [remap_lc(b) for _, b, _ in self.constraints]
-        C = [remap_lc(c) for _, _, c in self.constraints]
-        assignment: List[Optional[int]] = [None] * len(self.assignment)
-        for old, new in remap.items():
-            assignment[new] = self.assignment[old]
-        return len(self.assignment), self.num_inputs, A, B, C, assignment
+    def full_assignment(self) -> List[int]:
+        """Assignment in input-major order (proving mode only)."""
+        if any(v is None for v in self.assignment):
+            raise SynthesisError("constraint system not in proving mode")
+        remap = self._remap()
+        out = [0] * len(self.assignment)
+        for old, new in enumerate(remap):
+            out[new] = self.assignment[old]
+        return out

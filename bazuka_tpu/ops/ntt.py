@@ -141,6 +141,44 @@ def ntt_mont(x, inverse: bool = False, backend: str = "jax"):
     return _ntt_fn(n.bit_length() - 1, inverse, backend)(x)
 
 
+@functools.cache
+def _ntt_batched_fn(log_n: int, inverse: bool, backend: str, scale: bool):
+    """Batched stage loop over a (B, n, 16) tensor — the local-transform
+    building block of the Bailey four-step multi-chip NTT
+    (parallel.ntt_four_step).  `scale` applies the 1/n factor (the
+    four-step inverse applies a single 1/N at the end instead)."""
+    F = fr_field(backend)
+    n = 1 << log_n
+    rev_dev = F.xp.asarray(_bit_reverse_indices(n))
+    twiddles = _stage_twiddles(log_n, inverse, backend)
+    n_inv_mont = F.const_mont(pow(n, -1, P)) if (inverse and scale) else None
+
+    def run(x):
+        """x: (B, n, 16) Montgomery limbs, transformed along axis 1."""
+        B = x.shape[0]
+        a = x[:, rev_dev]
+        for s in range(log_n):
+            half = 1 << s
+            a = a.reshape(B, n // (2 * half), 2, half, F.n)
+            u = a[:, :, 0]
+            v = F.mont_mul(a[:, :, 1], twiddles[s][None, None])
+            a = F.xp.stack([F.add(u, v), F.sub(u, v)], axis=2)
+        a = a.reshape(B, n, F.n)
+        if n_inv_mont is not None:
+            a = F.mont_mul(a, n_inv_mont[None, None])
+        return a
+
+    return run
+
+
+def ntt_mont_batched(x, inverse: bool = False, backend: str = "jax",
+                     scale: bool = True):
+    """(B, n, 16) Montgomery limbs -> per-row NTT along axis 1."""
+    return _ntt_batched_fn(
+        x.shape[1].bit_length() - 1, inverse, backend, scale
+    )(x)
+
+
 def ntt(values, inverse: bool = False, backend: str = "jax") -> np.ndarray:
     """Convenience host API on int arrays."""
     F = fr_field(backend)

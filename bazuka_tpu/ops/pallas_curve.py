@@ -30,8 +30,10 @@ def field_emitters(F: LimbField):
     n = F.n
     mask = 0xFFFF  # python ints: avoid captured device constants in pallas
     big = 1 << W
-    p_limbs = [int(x) for x in np.asarray(F.p_limbs)]
-    pinv_limbs = [int(x) for x in np.asarray(F.p_inv_neg_limbs)]
+    # host ints (NOT np.asarray of device arrays — the emitters must be
+    # buildable inside an enclosing jit trace)
+    p_limbs = [(F.p >> (16 * i)) & 0xFFFF for i in range(n)]
+    pinv_limbs = [(F.p_inv_neg >> (16 * i)) & 0xFFFF for i in range(n)]
 
     def carry(rows):
         out = []

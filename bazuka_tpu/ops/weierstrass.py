@@ -281,6 +281,86 @@ def proj_scalar_mul(K, P, scalars, b3, nbits: int = 255):
     return K.F._fori(0, nbits, body, acc)
 
 
+@functools.cache
+def _fermat_inv_fn(backend: str):
+    """Vectorized Fp inversion x -> x^(p-2) (0 -> 0) over (N, 24)
+    Montgomery limbs: left-to-right square-and-multiply as a lax.scan
+    over the 381 static exponent bits — fully batched, ~570 Montgomery
+    muls total, used for one-shot projective->affine conversion of MSM
+    query arrays (a mixed add saves 3 of 14 muls EVERY accumulation
+    round, so paying the inversion once per keygen wins)."""
+    from ..fields.limbs import fp_field
+
+    F = fp_field(backend)
+    e = F.p - 2
+    bits = np.array([int(b) for b in bin(e)[2:]], dtype=bool)
+
+    def inv(z):
+        import jax
+        import jax.numpy as jnp
+
+        one = F.const_mont(1)
+        acc = jnp.broadcast_to(one[None, :], z.shape)
+
+        def body(acc, bit):
+            acc = F.mont_mul(acc, acc)
+            withz = F.mont_mul(acc, z)
+            return jnp.where(bit, withz, acc), None
+
+        acc, _ = jax.lax.scan(body, acc, jnp.asarray(bits))
+        return acc
+
+    if backend == "jax":
+        import jax
+
+        inv = jax.jit(inv)
+    return inv
+
+
+def g1_proj_to_am(P, backend: str = "jax"):
+    """Projective (X, Y, Z) (N, 24) Montgomery limbs -> point-major
+    AFFINE ((N, 2, 24) limbs, (N,) uint32 infinity mask) — the v2 MSM
+    query layout (ops.pallas_msm).  One batched Fermat inversion."""
+    from ..fields.limbs import fp_field
+
+    F = fp_field(backend)
+    xp = F.xp
+    X, Y, Z = P
+    zinv = _fermat_inv_fn(backend)(Z)
+    x = F.mont_mul(X, zinv)
+    y = F.mont_mul(Y, zinv)
+    inf = (Z == 0).all(axis=-1).astype(xp.uint32)
+    return xp.stack([x, y], axis=1), inf
+
+
+def g2_proj_to_am(P, backend: str = "jax"):
+    """Projective G2 ((X0,X1),(Y0,Y1),(Z0,Z1)) (N, 24) Montgomery limbs
+    -> point-major AFFINE ((N, 4, 24), (N,) inf mask).  Fp2 inversion
+    via ONE Fp Fermat inversion of the norm:
+    (z0 + z1·i)^-1 = (z0 − z1·i) / (z0² + z1²)."""
+    from ..fields.limbs import fp_field
+
+    F = fp_field(backend)
+    xp = F.xp
+    (X0, X1), (Y0, Y1), (Z0, Z1) = P
+    norm = F.add(F.mont_mul(Z0, Z0), F.mont_mul(Z1, Z1))
+    ninv = _fermat_inv_fn(backend)(norm)
+    zi0 = F.mont_mul(Z0, ninv)
+    zi1 = F.mont_mul(F.neg(Z1), ninv)
+
+    # Fp2 multiply (X0 + X1 i)(zi0 + zi1 i)
+    def f2mul(a0, a1, b0, b1):
+        t0 = F.mont_mul(a0, b0)
+        t1 = F.mont_mul(a1, b1)
+        t2 = F.mont_mul(F.add(a0, a1), F.add(b0, b1))
+        return F.sub(t0, t1), F.sub(F.sub(t2, t0), t1)
+
+    x0, x1 = f2mul(X0, X1, zi0, zi1)
+    y0, y1 = f2mul(Y0, Y1, zi0, zi1)
+    inf = ((Z0 == 0).all(axis=-1) & (Z1 == 0).all(axis=-1)).astype(xp.uint32)
+    return xp.stack([x0, x1, y0, y1], axis=1), inf
+
+
 # host-side conversion helpers
 
 
@@ -389,27 +469,96 @@ def gen_powers(kind: str, backend: str):
     return g2_to_proj(fp2_ops(backend), pts)
 
 
+GEN_WINDOW_C = 8  # fixed-base window bits: 32 table adds per scalar
+
+
+@functools.cache
+def _gen_window_table(kind: str, backend: str):
+    """Projective table T[w*256 + d] = d * 2^(8w) * GEN for the windowed
+    fixed-base multiply: built on device from the generator-power table
+    with 8 conditional-add passes over all 32*256 lanes (complete adds,
+    so the d=0 identity lanes are free)."""
+    import jax
+
+    warmup(backend)
+    K = fp_ops(backend) if kind == "g1" else fp2_ops(backend)
+    b3 = g1_b3(backend) if kind == "g1" else g2_b3(backend)
+    powers = gen_powers(kind, backend)
+    c = GEN_WINDOW_C
+    n_windows = (255 + c - 1) // c
+    lanes = n_windows << c
+    digits = np.arange(lanes) & ((1 << c) - 1)
+    wins = np.arange(lanes) >> c
+
+    # per-pass gather tables, stacked so the build loop has ONE traced
+    # add body (compile time scales with HLO count)
+    bit_set_all = np.stack([(digits >> i) & 1 == 1 for i in range(c)])
+    # bit 255 never occurs in Fr scalars (< 2^255): the clamped
+    # top-window entries for digits >= 128 are unreachable
+    pt_idx_all = np.stack([np.minimum(wins * c + i, 254) for i in range(c)])
+
+    def build():
+        bits_d = K.xp.asarray(bit_set_all)
+        idx_d = K.xp.asarray(pt_idx_all)
+
+        def body(i, acc):
+            pt_idx = idx_d[i]
+            pts = tuple(
+                (coord[0][pt_idx], coord[1][pt_idx])
+                if isinstance(coord, tuple)
+                else coord[pt_idx]
+                for coord in powers
+            )
+            return proj_select(K, bits_d[i], proj_add(K, acc, pts, b3), acc)
+
+        return K.F._fori(0, c, body, proj_identity(K, (lanes,)))
+
+    if backend == "jax":
+        build = jax.jit(build)
+    out = build()
+    if backend == "jax":
+        jax.block_until_ready(out[0] if not isinstance(out[0], tuple) else out[0][0])
+    return out
+
+
 @functools.cache
 def _batch_gen_mul_fn(kind: str, backend: str):
     warmup(backend)
     K = fp_ops(backend) if kind == "g1" else fp2_ops(backend)
     b3 = g1_b3(backend) if kind == "g1" else g2_b3(backend)
-    tbl = gen_powers(kind, backend)
+    tbl = _gen_window_table(kind, backend)
+    c = GEN_WINDOW_C
+    n_windows = (255 + c - 1) // c
 
     def run(scalars):
-        """(B, 16) standard-form Fr limbs -> (B,) projective points s*GEN.
-        255 conditional complete adds against the power table."""
-        acc = proj_identity(K, scalars.shape[:-1])
+        """(B, 16) standard-form Fr limbs -> (B,) projective s*GEN:
+        32 windowed table-gather adds per scalar (8x fewer curve ops than
+        the 255-round double-and-add; the keygen workhorse).  The window
+        loop is a fori_loop over a precomputed digit matrix — ONE traced
+        add body, not 32 inlined copies."""
+        per_limb = 16 // c
+        digits = K.xp.stack(
+            [
+                (
+                    (scalars[..., w // per_limb] >> ((w % per_limb) * c))
+                    & ((1 << c) - 1)
+                ).astype(K.xp.int32)
+                + (w << c)
+                for w in range(n_windows)
+            ]
+        )
 
-        def body(i, acc):
-            pt_i = tuple(
-                (c[0][i][None], c[1][i][None]) if isinstance(c, tuple) else c[i][None]
-                for c in tbl
+        def body(w, acc):
+            idx = digits[w]
+            pts = tuple(
+                (coord[0][idx], coord[1][idx])
+                if isinstance(coord, tuple)
+                else coord[idx]
+                for coord in tbl
             )
-            added = proj_add(K, acc, pt_i, b3)
-            return proj_select(K, _scalar_bit(scalars, i), added, acc)
+            return proj_add(K, acc, pts, b3)
 
-        return K.F._fori(0, 255, body, acc)
+        return K.F._fori(0, n_windows, body, proj_identity(K, scalars.shape[:-1]))
 
     if backend == "jax":
         import jax

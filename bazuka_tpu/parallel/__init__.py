@@ -146,13 +146,65 @@ def msm_sharded_host(mesh, points, scalars, kind: str = "g1",
     return wst.g2_from_proj(wst.fp2_ops("np"), R)[0]
 
 
+def msm_sharded_v2(mesh, points, scalars, c: int = 8, nbits: int = 255,
+                   s_tile: int = 8):
+    """G1 MSM on the v2 fused limb-major pipeline, data-parallel over the
+    mesh: each device runs the whole-window bucket program on its point
+    shard (ops.pallas_msm._msm_program — ONE while_loop, fused
+    add+select kernel), producing per-device window sums; the cross-chip
+    reduction is the per-window point sum + windowed combine on the host
+    (n_dev x n_windows cheap host adds).  Host affine in/out."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..crypto import bls12_381 as bls
+    from ..ops import pallas_msm as pm
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    n = _pad_pow2(len(points))
+    while n % D:
+        n *= 2
+    points = list(points) + [None] * (n - len(points))
+    scalars = list(scalars) + [0] * (n - len(scalars))
+    P_am, inf = pm.points_to_am(points)
+    s = msm_mod._enc_scalars(scalars, "jax")
+    run, n_windows = pm._msm_program(n // D, c, nbits, s_tile, False)
+
+    def local(P_shard, inf_shard, s_shard):
+        return run(P_shard, inf_shard, s_shard)[None]
+
+    shard = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis), P(axis, None)),
+        out_specs=P(axis, None, None, None),
+        check_rep=False,
+    )
+    wins = np.asarray(jax.jit(shard)(P_am, inf, s))  # (D, 3, 24, W)
+    K_np = wst.fp_ops("np")
+    acc = None
+    for w in range(n_windows - 1, -1, -1):
+        for _ in range(c):
+            acc = bls.g1_add(acc, acc)
+        for d in range(D):
+            pt = wst.g1_from_proj(
+                K_np,
+                (wins[d, 0, :, w][None].copy(), wins[d, 1, :, w][None].copy(),
+                 wins[d, 2, :, w][None].copy()),
+            )[0]
+            acc = bls.g1_add(acc, pt)
+    return acc
+
+
 # ---------------------------------------------------------------- NTT
 
 
 def ntt_sharded(mesh, x, inverse: bool = False):
     """NTT over a sharded (N, 16) Montgomery limb array.  The stage loop
     is jitted with the input sharded over the mesh; XLA SPMD inserts the
-    butterfly exchange collectives."""
+    butterfly exchange collectives.  (Baseline path — `ntt_four_step` is
+    the hand-scheduled version with explicit all_to_all.)"""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -163,6 +215,105 @@ def ntt_sharded(mesh, x, inverse: bool = False):
     x = jax.device_put(x, sharding)
     jitted = jax.jit(fn, out_shardings=sharding)
     return jitted(x)
+
+
+@functools.cache
+def _four_step_consts(log_n: int, inverse: bool, backend: str):
+    """Host-precomputed (R, C, 16) Montgomery twiddle matrix
+    T[k1, j2] = w^(j2*k1) for the middle step, plus 1/N for inverse."""
+    from ..fields.limbs import fr_field
+
+    F = fr_field(backend)
+    n = 1 << log_n
+    log_c = log_n // 2
+    log_r = log_n - log_c
+    R, C = 1 << log_r, 1 << log_c
+    w = ntt_mod.root_of_unity(log_n)
+    P_ = ntt_mod.P
+    if inverse:
+        w = pow(w, -1, P_)
+    # T[k1] is the geometric row (w^k1)^j2 — built with O(N) host muls
+    tw = np.empty((R, C), dtype=object)
+    wk = 1
+    for k1 in range(R):
+        acc = 1
+        row = tw[k1]
+        for j2 in range(C):
+            row[j2] = acc
+            acc = acc * wk % P_
+        wk = wk * w % P_
+    tw_mont = F.xp.asarray(F.encode(tw))
+    n_inv = F.const_mont(pow(n, -1, P_)) if inverse else None
+    return tw_mont, n_inv
+
+
+def ntt_four_step(mesh, x, inverse: bool = False, backend: str = "jax"):
+    """Bailey four-step NTT with EXPLICIT all_to_all transposes
+    (SURVEY.md §7 stage 5 / hard-part #4 — the sequence-parallel analog).
+
+    N = R*C; view x (natural order) as an (R, C) row-major matrix sharded
+    over rows.  Per device:
+      1. all_to_all -> column-sharded (R, C/D): full columns local
+      2. local length-R NTTs along axis 0 (batched butterfly stages)
+      3. multiply by the (R, C) twiddle matrix w^(j2*k1) (sharded)
+      4. all_to_all -> row-sharded (R/D, C), local length-C NTTs along
+         axis 1, then a final all_to_all + local transpose to deliver
+         natural-order output (X viewed as (C, R) row-major)
+    All butterflies are local; exactly 3 collective transposes move each
+    element once per exchange (vs per-stage exchanges in the naive
+    sharding).  Bit-exact vs ops.ntt.ntt_host.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..fields.limbs import fr_field
+
+    F = fr_field(backend)
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    n = x.shape[0]
+    log_n = n.bit_length() - 1
+    log_c = log_n // 2
+    log_r = log_n - log_c
+    R, C = 1 << log_r, 1 << log_c
+    assert R % D == 0 and C % D == 0, "mesh must divide both NTT factors"
+    tw_mont, n_inv = _four_step_consts(log_n, inverse, backend)
+
+    col_fn = ntt_mod._ntt_batched_fn(log_r, inverse, backend, scale=False)
+    row_fn = ntt_mod._ntt_batched_fn(log_c, inverse, backend, scale=False)
+
+    def local(xb, twb):
+        # xb: (R/D, C, 16) rows of the (R, C) matrix
+        a = jax.lax.all_to_all(xb, axis, split_axis=1, concat_axis=0,
+                               tiled=True)  # (R, C/D, 16)
+        a = col_fn(a.transpose(1, 0, 2))  # (C/D, R, 16): NTT over j1
+        a = a.transpose(1, 0, 2)  # (R, C/D, 16) = A[k1, j2_local]
+        a = F.mont_mul(a, twb)  # twb: (R, C/D, 16)
+        a = jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1,
+                               tiled=True)  # (R/D, C, 16)
+        a = row_fn(a)  # NTT over j2 -> Y[k1_local, k2]
+        if n_inv is not None:
+            a = F.mont_mul(a, n_inv[None, None])
+        # natural order: X.reshape(C, R)[k2, k1] = Y[k1, k2]
+        a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0,
+                               tiled=True)  # (R, C/D, 16) full-k1 columns
+        return a.transpose(1, 0, 2)  # (C/D, R, 16) rows k2 local
+
+    shard = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(None, axis, None)),
+        out_specs=P(axis, None, None),
+        check_rep=False,
+    )
+    xs = jax.device_put(
+        x.reshape(R, C, F.n), NamedSharding(mesh, P(axis, None, None))
+    )
+    tws = jax.device_put(tw_mont, NamedSharding(mesh, P(None, axis, None)))
+    out = jax.jit(shard)(xs, tws)
+    return out.reshape(n, F.n)
 
 
 # ---------------------------------------------------------------- EdDSA

@@ -13,12 +13,36 @@ import os
 _DONE = False
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.  XLA:CPU caches AOT
+    machine code specialized to the compiling host; executing an entry
+    compiled on a host with different vector extensions SIGILLs/segfaults
+    (observed across fleet machines).  Keying the cache dir by the flag
+    set makes entries portable-safe while still shared per machine type."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
 def enable_compile_cache(path: str = "/root/.cache/bazuka_tpu_xla"):
     global _DONE
     if _DONE:
         return
     import jax
 
+    # TPU executables (device code behind the PJRT tunnel) are host-
+    # portable and expensive — share them at the root.  CPU executables
+    # are host-specialized AOT machine code — key them by CPU flags.
+    if jax.default_backend() != "tpu":
+        path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

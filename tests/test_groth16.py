@@ -51,8 +51,10 @@ def test_cs_satisfaction():
     assert bad.is_satisfied() == 0
 
 
-@slow
 def test_prove_verify_roundtrip(params):
+    """Default-on real Groth16 roundtrip (VERDICT item 4): keygen ->
+    prove -> pairing-verify on a tiny circuit, exercising the full
+    sparse-matvec + NTT + MSM prover pipeline every CI run."""
     cs, z = multiply_circuit(3, 5)
     proof = create_proof(params, cs, r=7, s=11)
     assert groth16_verify(params.vk, [z], proof)

@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--log4-batch", type=int, default=1)
     ap.add_argument("--log4-tree", type=int, default=3)
     ap.add_argument("--log4-token-tree", type=int, default=1)
+    ap.add_argument("--warm-proves", type=int, default=0,
+                    help="extra timed proves on the warm pipeline")
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the host-side satisfaction check")
+    ap.add_argument("--params-cache", default=None,
+                    help=".npz path: load the proving key if present, "
+                         "else keygen once and save it there")
     args = ap.parse_args()
 
     from bazuka_tpu.utils.jaxcfg import enable_compile_cache
@@ -107,23 +114,45 @@ def main():
 
     t0 = time.perf_counter()
     cs = circ_mod.synthesize_circuit(circuit)
-    n_constraints = len(cs.constraints)
+    n_constraints = cs.n_constraints
     n_vars = len(cs.assignment)
     print(f"[{args.circuit}] synthesized: {n_constraints} constraints, "
           f"{n_vars} vars in {time.perf_counter()-t0:.1f}s", flush=True)
-    bad = cs.is_satisfied()
-    assert bad is None, f"constraint {bad} unsatisfied!"
-    print("witness satisfies the circuit", flush=True)
+    if not args.skip_check:
+        bad = cs.is_satisfied()
+        assert bad is None, f"constraint {bad} unsatisfied!"
+        print("witness satisfies the circuit", flush=True)
+
+    import os
 
     t0 = time.perf_counter()
-    params = generate_parameters(cs, seed=b"mpn-demo")
-    print(f"keygen: {time.perf_counter()-t0:.1f}s "
-          f"(|pk| = {len(params.pk.a_query)} G1 x3 + {len(params.pk.h_query)} h + "
-          f"{len(params.pk.b_g2_query)} G2)", flush=True)
+    if args.params_cache and os.path.exists(args.params_cache):
+        from bazuka_tpu.groth16.keygen import load_parameters
+
+        params = load_parameters(args.params_cache)
+        print(f"params loaded from {args.params_cache} in "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        params = generate_parameters(cs, seed=b"mpn-demo")
+        print(f"keygen: {time.perf_counter()-t0:.1f}s "
+              f"(|pk| = {params.pk.a_query[0].shape[0]} G1 x3 + "
+              f"{params.pk.h_query[0].shape[0]} h + "
+              f"{params.pk.b_g2_query[0].shape[0]} G2)", flush=True)
+        if args.params_cache:
+            from bazuka_tpu.groth16.keygen import save_parameters
+
+            t0 = time.perf_counter()
+            save_parameters(params, args.params_cache)
+            print(f"params saved to {args.params_cache} in "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     proof = create_proof(params, cs, r=7, s=11)
-    print(f"prove: {time.perf_counter()-t0:.1f}s", flush=True)
+    print(f"prove (cold): {time.perf_counter()-t0:.1f}s", flush=True)
+    for i in range(args.warm_proves):
+        t0 = time.perf_counter()
+        proof = create_proof(params, cs, r=7 + i, s=11 + i)
+        print(f"prove (warm {i}): {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     inputs = [commitment, pubs_used.height, pubs_used.state,
