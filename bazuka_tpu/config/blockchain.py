@@ -77,7 +77,14 @@ def get_mpn_contract_tx(
     deposit_vk: ZkVerifierKey,
     withdraw_vk: ZkVerifierKey,
     update_vk: ZkVerifierKey,
+    initial_balances=(),
 ) -> Transaction:
+    """MPN contract-creation tx.  With `initial_balances` (MpnAddress,
+    amount) pairs, the initial state holds those L2 accounts — pub key at
+    [i,2]/[i,3], a Ziesha token slot at [i,4,0,*] — and the tx moves the
+    L1 sum into the contract (reference: src/config/blockchain.rs:70-147)."""
+    from ..zk.state import ZkStateBuilder
+
     config = MpnConfig(
         log4_tree_size=log4_tree_size,
         log4_token_tree_size=log4_token_tree_size,
@@ -87,8 +94,29 @@ def get_mpn_contract_tx(
         mpn_contract_id=ContractId.NULL,
     )
     model = config.state_model()
+    if initial_balances:
+        builder = ZkStateBuilder(model)
+        data = {}
+        sum_amount = 0
+        for i, (addr, amount) in enumerate(initial_balances):
+            pt = addr.pub_key.decompress()
+            entries = {
+                (i, 2): pt[0],
+                (i, 3): pt[1],
+                (i, 4, 0, 0): ContractId.ZIESHA.scalar,
+                (i, 4, 0, 1): amount,
+            }
+            data.update(entries)
+            builder.batch_set(entries)
+            sum_amount += amount
+        initial_state = builder.compress()
+        money = Money.ziesha(sum_amount)
+    else:
+        data = {}
+        initial_state = ZkCompressedState.empty(model)
+        money = Money.ziesha(0)
     contract = ZkContract(
-        initial_state=ZkCompressedState.empty(model),
+        initial_state=initial_state,
         state_model=model,
         deposit_functions=[
             ZkMultiInputVerifierKey(deposit_vk, log4_deposit_batch_size)
@@ -102,7 +130,7 @@ def get_mpn_contract_tx(
         src=None,
         nonce=0,
         data=TransactionData(
-            "create_contract", contract=contract, money=Money.ziesha(0), state={}
+            "create_contract", contract=contract, money=money, state=data
         ),
         fee=Money.ziesha(0),
         memo="A Payment-Network to rule them all!",
@@ -120,15 +148,36 @@ def _genesis_header() -> Header:
     )
 
 
-def load_initial_balances(path: str):
-    """Initial L1 balances from a JSON file `{ "ed...": amount, ... }`
-    (stands in for the reference's 13.9k hardcoded entries,
-    src/config/initials.rs)."""
+def load_initial_balances(path: str | None = None):
+    """Mainnet L1 initial balances — 3254 (ed25519 address, amount)
+    entries extracted from the reference's src/config/initials.rs by
+    tools/extract_initials.py (protocol constants)."""
+    import importlib.resources as res
     import json
 
-    with open(path) as f:
-        data = json.load(f)
-    return [(Address.parse(addr), int(amount)) for addr, amount in data.items()]
+    if path is not None:
+        data = json.loads(open(path).read())
+    else:
+        data = json.loads(
+            (res.files("bazuka_tpu.config") / "data" / "initial_balances.json")
+            .read_text()
+        )
+    return [(Address.parse(addr), int(amount)) for addr, amount in data]
+
+
+def load_initial_mpn_balances():
+    """Mainnet L2 (MPN) initial balances — 211 (MpnAddress, amount)
+    entries from the reference's initials.rs."""
+    import importlib.resources as res
+    import json
+
+    from ..core.address import MpnAddress
+
+    data = json.loads(
+        (res.files("bazuka_tpu.config") / "data" / "initial_mpn_balances.json")
+        .read_text()
+    )
+    return [(MpnAddress.parse(addr), int(amount)) for addr, amount in data]
 
 
 def load_mainnet_vks() -> dict:
@@ -154,9 +203,17 @@ def load_mainnet_vks() -> dict:
     return out
 
 
+FIRST_STAKER = "ed744735b5239d32a5b5b6441474bf65a6aaa6bfcf8905d4616f1acc14cf3847f0"
+FIRST_STAKER_VRF = "vrf2a3531b9978e7d1293fa58b4f04cb8d78c72f681b58cd664703c3b0f2a531e04"
+
+
 def blockchain_config_template(
-    deposit_vk=None, withdraw_vk=None, update_vk=None, initial_balances=()
+    deposit_vk=None, withdraw_vk=None, update_vk=None, with_initials=False
 ) -> BlockchainConfig:
+    """Mainnet-shaped chain config.  With `with_initials`, the genesis
+    carries the full reference launch state: 211 L2 MPN accounts inside
+    the contract's initial state, the first staker + treasury delegation,
+    and 3254 L1 airdrop sends (reference: src/config/blockchain.rs:230-315)."""
     if deposit_vk is None or withdraw_vk is None or update_vk is None:
         mainnet = load_mainnet_vks()
         deposit_vk = deposit_vk or mainnet["deposit"]
@@ -169,23 +226,46 @@ def blockchain_config_template(
         MPN_LOG4_DEPOSIT_BATCH_SIZE,
         MPN_LOG4_WITHDRAW_BATCH_SIZE,
         dvk, wvk, uvk,
+        initial_balances=load_initial_mpn_balances() if with_initials else (),
     )
     mpn_contract_id = ContractId.from_tx(mpn_tx)
     ziesha_tx = get_ziesha_token_creation_tx()
     ziesha_token_id = ContractId.from_tx(ziesha_tx)
 
     genesis = Block(header=_genesis_header(), body=[ziesha_tx, mpn_tx])
-    for addr, amount in initial_balances:
+    if with_initials:
+        staker_addr = Address.parse(FIRST_STAKER)
+        genesis.body.append(
+            Transaction(
+                src=staker_addr, nonce=0,
+                data=TransactionData(
+                    "update_staker",
+                    vrf_pub_key=FIRST_STAKER_VRF,
+                    commission=Ratio(12),
+                ),
+                fee=Money.ziesha(0), memo="Very first staker created!",
+            )
+        )
         genesis.body.append(
             Transaction(
                 src=None, nonce=0,
                 data=TransactionData(
-                    "regular_send",
-                    entries=[RegularSendEntry(addr, Money.ziesha(amount))],
+                    "delegate", to=staker_addr, amount=1_000_000_000_000,
                 ),
-                fee=Money.ziesha(0), memo="",
+                fee=Money.ziesha(0), memo="Very first delegation!",
             )
         )
+        for addr, amount in load_initial_balances():
+            genesis.body.append(
+                Transaction(
+                    src=None, nonce=0,
+                    data=TransactionData(
+                        "regular_send",
+                        entries=[RegularSendEntry(addr, Money.ziesha(amount))],
+                    ),
+                    fee=Money.ziesha(0), memo="",
+                )
+            )
     return BlockchainConfig(
         genesis=genesis,
         ziesha_token_id=ziesha_token_id,
@@ -217,8 +297,9 @@ def blockchain_config_template(
 
 def get_blockchain_config() -> BlockchainConfig:
     """Mainnet config: real ceremony VKs (hard failure if the VK data is
-    missing — dummy proofs are rejected outside explicit test configs)."""
-    return blockchain_config_template()
+    missing — dummy proofs are rejected outside explicit test configs)
+    and the full reference genesis (initial L1/L2 balances, first staker)."""
+    return blockchain_config_template(with_initials=True)
 
 
 def get_dev_blockchain_config(

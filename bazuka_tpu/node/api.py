@@ -166,7 +166,13 @@ async def post_peer(ctx: NodeContext, req):
     addr = PeerAddress.parse(body["address"])
     ctx.peer_manager.add_candidate(ctx.local_timestamp(), addr)
     info = ctx.get_info()
-    return {"info": info.to_json() if info else None, "timestamp": ctx.local_timestamp()}
+    # network timestamp + the correction it contains, so sync_clock can
+    # recover the peer's RAW clock (reference: post_peer.rs:31-32)
+    return {
+        "info": info.to_json() if info else None,
+        "timestamp": ctx.network_timestamp(),
+        "timestamp_offset": ctx.timestamp_offset,
+    }
 
 
 async def shutdown(ctx: NodeContext, req):
@@ -245,12 +251,11 @@ async def get_explorer_stakers(ctx: NodeContext, req):
 
 
 async def get_explorer_mempool(ctx: NodeContext, req):
-    return {
-        "mempool": [
-            {"kind": tx.kind, "nonce": tx.nonce(), "sender": tx.sender_str()}
-            for tx, _ in ctx.mempool.all()
-        ]
-    }
+    """Typed full-detail mempool view (reference: get_explorer_mempool.rs
+    over ExplorerGeneralTransaction)."""
+    from .explorer import general_tx_to_json
+
+    return {"mempool": [general_tx_to_json(tx) for tx, _ in ctx.mempool.all()]}
 
 
 async def get_explorer_mpn_accounts(ctx: NodeContext, req):
@@ -263,6 +268,7 @@ async def get_explorer_mpn_accounts(ctx: NodeContext, req):
                 "index": i,
                 "tx_nonce": a.tx_nonce,
                 "withdraw_nonce": a.withdraw_nonce,
+                "address": [hex(a.address[0]), hex(a.address[1])],
                 "tokens": {str(k): m.amount for k, m in a.tokens.items()},
             }
             for i, a in accs

@@ -55,14 +55,16 @@ class NodeContext:
     peer_manager: PeerManager
     firewall: Optional[Firewall] = None
     shutdown: bool = False
-    timestamp_offset: int = 0
+    timestamp_offset: int = 0  # learned correction (sync_clock heartbeat)
+    clock_skew: int = 0  # simulated wall-clock error (tests; reference
+    #                      NodeOpts.timestamp_offset, test/mod.rs:180)
     validator_claim: Optional[ValidatorClaim] = None
     mpn_workers: Dict[str, MpnWorker] = field(default_factory=dict)
     mpn_work_pool: Optional[MpnWorkPool] = None
     mempool: Mempool = field(default_factory=Mempool)
 
     def local_timestamp(self) -> int:
-        return int(time.time())
+        return int(time.time()) + self.clock_skew
 
     def network_timestamp(self) -> int:
         return self.local_timestamp() + self.timestamp_offset

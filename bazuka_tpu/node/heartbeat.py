@@ -86,7 +86,7 @@ async def sync_clock(node):
     """Set timestamp_offset to the median peer offset
     (reference: heartbeat/sync_clock.rs)."""
     ctx = node.context
-    offsets = []
+    timestamps, corrections = [], []
     for peer in ctx.peer_manager.get_peers():
         try:
             resp = await ctx.outgoing.json_post(
@@ -94,11 +94,19 @@ async def sync_clock(node):
                 {"address": str(ctx.address) if ctx.address else "0.0.0.0:0"},
                 Limit(time=3.0),
             )
-            offsets.append(resp["timestamp"] - ctx.local_timestamp())
+            timestamps.append(resp["timestamp"])
+            corrections.append(resp.get("timestamp_offset", 0))
         except Exception:
             pass
-    if offsets:
-        ctx.timestamp_offset = int(statistics.median(offsets))
+    if timestamps:
+        # aim at the median RAW network clock: subtract the median of the
+        # peers' own corrections so corrections don't feed back and drift
+        # (reference: sync_clock.rs:54-61)
+        ctx.timestamp_offset = int(
+            statistics.median(timestamps)
+            - ctx.local_timestamp()
+            - statistics.median(corrections)
+        )
 
 
 async def sync_blocks(node):

@@ -194,3 +194,81 @@ def test_transact_endpoint():
             await sim.stop()
 
     run(body())
+
+
+def test_delay_rule_slows_but_allows_sync():
+    """Delay(0.3s) on every request: sync still completes, just later
+    (reference simulation.rs Action::Delay)."""
+    async def body():
+        rules = [Rule("delay", delay=0.3)]
+        sim = make_sim(2, rules)
+        n0, n1 = sim.nodes[3030], sim.nodes[3031]
+        val = TxBuilder(b"VALIDATOR")
+        blk = n0.context.blockchain.draft_block(10, [], val, check=True)
+        n0.context.blockchain.apply_block(blk)
+        await sim.start()
+        try:
+            await catch_change(
+                lambda: n1.context.blockchain.get_height(), timeout=20.0
+            )
+        finally:
+            await sim.stop()
+        assert n1.context.blockchain.get_height() == 2
+
+    run(body())
+
+
+def test_redirect_rule_syncs_from_other_node():
+    """Redirect node 1's requests for node 0 to node 2: node 1 ends up on
+    node 2's (longer) chain even though it only dialed node 0
+    (reference simulation.rs Action::Redirect)."""
+    async def body():
+        sim = Simulation()
+        conf = get_test_blockchain_config()
+        # node 1 only knows node 0; all traffic to 3030 redirects to 3032
+        sim.add_node(3030, conf, bootstrap=[])
+        sim.add_node(3031, conf, bootstrap=[3030])
+        sim.add_node(3032, conf, bootstrap=[])
+        sim.rules.append(Rule("redirect", port=3030, redirect_to=3032))
+        n1, n2 = sim.nodes[3031], sim.nodes[3032]
+        val = TxBuilder(b"VALIDATOR")
+        blk = n2.context.blockchain.draft_block(10, [], val, check=True)
+        n2.context.blockchain.apply_block(blk)
+        await sim.start()
+        try:
+            await catch_change(
+                lambda: n1.context.blockchain.get_height(), timeout=20.0
+            )
+        finally:
+            await sim.stop()
+        assert n1.context.blockchain.get_height() == 2
+        assert (
+            n1.context.blockchain.get_tip().hash()
+            == n2.context.blockchain.get_tip().hash()
+        )
+
+    run(body())
+
+
+def test_clock_syncs_to_median_under_skew():
+    """A node whose clock is skewed adopts the median peer offset, even
+    with delayed traffic (reference src/node/test/mod.rs clock-sync)."""
+    async def body():
+        rules = [Rule("delay", delay=0.1, path="/bincode/peers")]
+        sim = make_sim(3, rules)
+        skewed = sim.nodes[3030]
+        # the skewed node's wall clock runs 100 s behind the other two
+        skewed.context.clock_skew = -100
+        await sim.start()
+        try:
+            # it must learn a ~+100 correction so its network timestamp
+            # matches the majority's raw clock
+            await catch_change(
+                lambda: abs(skewed.context.timestamp_offset - 100) <= 3,
+                timeout=20.0,
+            )
+        finally:
+            await sim.stop()
+        assert abs(skewed.context.timestamp_offset - 100) <= 3
+
+    run(body())
