@@ -96,6 +96,61 @@ def native_poseidon(vals) -> int | None:
     return int.from_bytes(out.raw, "little")
 
 
+_SRC2 = os.path.join(os.path.dirname(_SRC), "scalarops.cpp")
+_SO2 = os.path.join(os.path.dirname(_SO), "scalarops.so")
+_lib2 = None
+
+
+def load_scalarops():
+    """Load (building if needed) the scalar-utils library; None if
+    unavailable."""
+    global _lib2
+    with _lock:
+        if _lib2 is not None:
+            return _lib2
+        if not os.path.exists(_SO2) or os.path.getmtime(_SO2) < os.path.getmtime(_SRC2):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO2, _SRC2],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO2)
+        except OSError:
+            return None
+        lib.group_rows16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.group_rows16.restype = ctypes.c_int64
+        _lib2 = lib
+        return _lib2
+
+
+def native_group_rows16(rows):
+    """(N, 16) uint32 array -> (order, inverse, counts, n_groups) via
+    the C++ index sort, or None if the native lib is unavailable.
+    Grouping semantics match np.unique(return_inverse, return_counts)
+    on value-lexicographic order."""
+    import numpy as np
+
+    lib = load_scalarops()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    n = rows.shape[0]
+    order = np.empty(n, np.int32)
+    inverse = np.empty(n, np.int32)
+    counts = np.empty(n, np.int32)
+    ng = lib.group_rows16(
+        rows.ctypes.data, n, order.ctypes.data, inverse.ctypes.data,
+        counts.ctypes.data,
+    )
+    return order, inverse, counts[:ng], int(ng)
+
+
 def native_poseidon_batch(arity: int, flat_vals) -> list | None:
     """Hash n inputs of the same arity; flat_vals length n*arity ints."""
     lib = load()

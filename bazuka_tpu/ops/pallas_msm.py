@@ -849,11 +849,22 @@ class _DedupPlan:
             self._lab = lab
             self._build(lab, V)
             return
-        v = np.ascontiguousarray(s_np).view([("", np.uint32)] * 16).ravel()
-        uniq, inverse, counts = np.unique(
-            v, return_inverse=True, return_counts=True
-        )
-        uniq_rows = uniq.view(np.uint32).reshape(-1, 16)
+        from ..native import native_group_rows16
+
+        grp = native_group_rows16(s_np)
+        if grp is not None:
+            # C++ index sort (~10x np.unique's void-row lexsort at 2^20)
+            order_all, inverse, counts, _ng = grp
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            uniq_rows = np.ascontiguousarray(s_np, np.uint32)[
+                order_all[starts]
+            ]
+        else:
+            v = np.ascontiguousarray(s_np).view([("", np.uint32)] * 16).ravel()
+            uniq, inverse, counts = np.unique(
+                v, return_inverse=True, return_counts=True
+            )
+            uniq_rows = uniq.view(np.uint32).reshape(-1, 16)
         zero_u = (uniq_rows == 0).all(axis=1)
         heavy_u = (counts > threshold) & ~zero_u
         self.n_heavy_vals = V = int(heavy_u.sum())

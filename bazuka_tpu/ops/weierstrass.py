@@ -472,15 +472,41 @@ def gen_powers(kind: str, backend: str):
 GEN_WINDOW_C = 8  # fixed-base window bits: 32 table adds per scalar
 
 
+def _table_cache_path(kind: str) -> str:
+    import os
+
+    d = os.path.join(os.path.expanduser("~/.cache"), "bazuka_tpu_tables")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"genwin_{kind}_c{GEN_WINDOW_C}.npz")
+
+
 @functools.cache
 def _gen_window_table(kind: str, backend: str):
     """Projective table T[w*256 + d] = d * 2^(8w) * GEN for the windowed
     fixed-base multiply: built on device from the generator-power table
     with 8 conditional-add passes over all 32*256 lanes (complete adds,
-    so the d=0 identity lanes are free)."""
+    so the d=0 identity lanes are free).
+
+    The table is a protocol constant (generator multiples), so it is
+    persisted to disk after the first build — executing the build costs
+    minutes per process on the XLA-CPU backend (test suites pay it in
+    every process otherwise)."""
+    import os
+
     import jax
 
     warmup(backend)
+    path = _table_cache_path(kind)
+    if os.path.exists(path):
+        K0 = fp_ops(backend) if kind == "g1" else fp2_ops(backend)
+        z = np.load(path)
+        xp = K0.xp
+        if kind == "g1":
+            return tuple(xp.asarray(z[f"c{i}"]) for i in range(3))
+        return tuple(
+            (xp.asarray(z[f"c{i}0"]), xp.asarray(z[f"c{i}1"]))
+            for i in range(3)
+        )
     K = fp_ops(backend) if kind == "g1" else fp2_ops(backend)
     b3 = g1_b3(backend) if kind == "g1" else g2_b3(backend)
     powers = gen_powers(kind, backend)
@@ -518,6 +544,20 @@ def _gen_window_table(kind: str, backend: str):
     out = build()
     if backend == "jax":
         jax.block_until_ready(out[0] if not isinstance(out[0], tuple) else out[0][0])
+    try:  # persist (best-effort; see docstring)
+        if kind == "g1":
+            np.savez(path, **{f"c{i}": np.asarray(out[i]) for i in range(3)})
+        else:
+            np.savez(
+                path,
+                **{
+                    f"c{i}{s}": np.asarray(out[i][s])
+                    for i in range(3)
+                    for s in range(2)
+                },
+            )
+    except OSError:
+        pass
     return out
 
 
