@@ -32,7 +32,13 @@ def _host_fingerprint() -> str:
     return "generic"
 
 
-def enable_compile_cache(path: str = "/root/.cache/bazuka_tpu_xla"):
+def enable_compile_cache(path: str = "/root/.cache/bazuka_tpu_xla",
+                         tag: str | None = None):
+    """`tag` isolates a workload in its own cache subdir.  Used by the
+    multi-chip dryrun: the shared fingerprint dir accumulated AOT entries
+    merged from a foreign host in round 2 (loading them spams
+    feature-mismatch errors and forces recompiles); a tagged dir only
+    ever contains entries this host compiled."""
     global _DONE
     if _DONE:
         return
@@ -43,6 +49,8 @@ def enable_compile_cache(path: str = "/root/.cache/bazuka_tpu_xla"):
     # are host-specialized AOT machine code — key them by CPU flags.
     if jax.default_backend() != "tpu":
         path = os.path.join(path, _host_fingerprint())
+    if tag:
+        path = os.path.join(path, tag)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

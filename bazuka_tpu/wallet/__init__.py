@@ -1,11 +1,15 @@
 """Wallets: mnemonic -> per-role seeds -> TxBuilder key bundles
 (reference: src/wallet/mod.rs).
 
-Seed derivation is BIP39-compatible (PBKDF2-HMAC-SHA512, 2048 rounds,
-salt "mnemonic"+passphrase) so externally-generated standard mnemonics
-import verbatim; locally-generated phrases use a compact embedded
-wordlist (16 words x 8 bits = 128-bit entropy + 1 checksum word) since
-the 2048-word English list isn't vendored.
+Full BIP39 compatibility (reference uses the bip39 crate,
+src/wallet/mod.rs:16-35): generation, checksum validation and seed
+derivation (PBKDF2-HMAC-SHA512, 2048 rounds, salt
+"mnemonic"+passphrase) all use the standard English 2048-word list,
+vendored as `bip39_english.txt` (sha256
+2f5eed53a4727b4bf8880d8f3f199efc90e58503646d9ff8eff3a2ed3b24dbda —
+the canonical list).  Phrases from the pre-round-3 compact syllable
+scheme still validate for import (legacy branch in
+`validate_checksum`).
 """
 
 from __future__ import annotations
@@ -21,11 +25,17 @@ from ..core import GeneralTransaction, NonceGroup
 from ..core.transaction import ContractId
 from .tx_builder import TxBuilder
 
-# 256 short distinct words (16 consonant-vowel pairs squared)
+with open(os.path.join(os.path.dirname(__file__), "bip39_english.txt")) as _f:
+    WORDLIST = _f.read().split()
+assert len(WORDLIST) == 2048
+_WORD_INDEX = {w: i for i, w in enumerate(WORDLIST)}
+
+# pre-round-3 compact scheme (16 consonant-vowel pairs squared): accepted
+# on import only, never generated
 _SYL = ["ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
         "na", "pe", "ri", "so", "tu", "za"]
-WORDLIST = [a + b for a in _SYL for b in _SYL]
-_WORD_INDEX = {w: i for i, w in enumerate(WORDLIST)}
+_LEGACY_WORDS = [a + b for a in _SYL for b in _SYL]
+_LEGACY_INDEX = {w: i for i, w in enumerate(_LEGACY_WORDS)}
 
 
 class Mnemonic:
@@ -33,18 +43,43 @@ class Mnemonic:
         self.phrase = phrase.strip()
 
     @staticmethod
-    def generate(entropy_bytes: int = 16) -> "Mnemonic":
-        ent = secrets.token_bytes(entropy_bytes)
-        check = hashlib.sha3_256(ent).digest()[0]
-        words = [WORDLIST[b] for b in ent + bytes([check])]
+    def from_entropy(ent: bytes) -> "Mnemonic":
+        """Standard BIP39 encoding: ENT bits + ENT/32 checksum bits from
+        SHA-256, split into 11-bit word indexes."""
+        if len(ent) not in (16, 20, 24, 28, 32):
+            raise ValueError("entropy must be 128-256 bits")
+        cs_bits = len(ent) * 8 // 32
+        check = hashlib.sha256(ent).digest()
+        bits = "".join(f"{b:08b}" for b in ent)
+        bits += "".join(f"{b:08b}" for b in check)[:cs_bits]
+        words = [
+            WORDLIST[int(bits[i : i + 11], 2)] for i in range(0, len(bits), 11)
+        ]
         return Mnemonic(" ".join(words))
+
+    @staticmethod
+    def generate(entropy_bytes: int = 16) -> "Mnemonic":
+        return Mnemonic.from_entropy(secrets.token_bytes(entropy_bytes))
 
     def validate_checksum(self) -> bool:
         words = self.phrase.split()
-        if any(w not in _WORD_INDEX for w in words) or len(words) < 2:
-            return False
-        data = bytes(_WORD_INDEX[w] for w in words)
-        return hashlib.sha3_256(data[:-1]).digest()[0] == data[-1]
+        if len(words) in (12, 15, 18, 21, 24) and all(
+            w in _WORD_INDEX for w in words
+        ):
+            bits = "".join(f"{_WORD_INDEX[w]:011b}" for w in words)
+            ent_bits = len(bits) * 32 // 33
+            ent = int(bits[:ent_bits], 2).to_bytes(ent_bits // 8, "big")
+            cs = len(bits) - ent_bits
+            check = "".join(
+                f"{b:08b}" for b in hashlib.sha256(ent).digest()
+            )[:cs]
+            return bits[ent_bits:] == check
+        # legacy compact phrases (pre-round-3 wallets): 2-letter syllable
+        # words, one trailing sha3 checksum byte
+        if len(words) >= 2 and all(w in _LEGACY_INDEX for w in words):
+            data = bytes(_LEGACY_INDEX[w] for w in words)
+            return hashlib.sha3_256(data[:-1]).digest()[0] == data[-1]
+        return False
 
     def to_seed(self, passphrase: str = "") -> bytes:
         """BIP39 seed derivation (works for ANY phrase)."""

@@ -25,3 +25,36 @@ from bazuka_tpu.utils.jaxcfg import enable_compile_cache, force_cpu  # noqa: E40
 
 force_cpu()
 enable_compile_cache()
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------- tiers
+#
+# Two tiers (README "Running the tests"):
+#   default     — correctness suite, target < 5 min on a 4-core host with
+#                 a warm compile cache; runs everywhere, every time.
+#   slow tier   — compile/execution-heavy device-kernel tests (big MSM /
+#                 sharded-collective / E2E-pipeline programs: XLA:CPU
+#                 executes limb curve math ~4000x slower than the TPU).
+#                 Opt in with BAZUKA_SLOW_TESTS=1 or `-m slow`.
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile/execution-heavy kernel test; opt in with "
+        "BAZUKA_SLOW_TESTS=1 or -m slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("BAZUKA_SLOW_TESTS"):
+        return
+    if "slow" in (config.option.markexpr or ""):
+        return  # explicit -m selection: let pytest's own filter decide
+    skip = pytest.mark.skip(
+        reason="slow tier: set BAZUKA_SLOW_TESTS=1 or pass -m slow"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

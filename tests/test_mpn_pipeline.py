@@ -5,6 +5,8 @@ applies on-chain with recomputed state roots."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/execution-heavy device kernels
+
 from bazuka_tpu.blockchain import KvStoreChain
 from bazuka_tpu.config.blockchain import get_test_blockchain_config
 from bazuka_tpu.core.transaction import ContractId, Money

@@ -7,6 +7,8 @@ three XLA compiles (G1 c=4, G1 c=8, G2 c=4) — each persistent-cached.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/execution-heavy device kernels
+
 from bazuka_tpu.crypto import bls12_381 as bls
 from bazuka_tpu.ops.msm import msm_g1_host, msm_g2_host
 

@@ -7,6 +7,9 @@ bucket-serial drain's round count equals the max duplicate group size
 cost never depends on the scalar distribution)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile/execution-heavy device kernels
 
 from bazuka_tpu.crypto import bls12_381 as bls
 from bazuka_tpu.ops import pallas_msm as pm

@@ -4,6 +4,8 @@ sharded MSM/NTT/EdDSA match single-chip and host results bit-exactly."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/execution-heavy device kernels
+
 from bazuka_tpu.crypto import bls12_381 as bls
 from bazuka_tpu.crypto import jubjub as jj
 from bazuka_tpu.fields.host import FR_MODULUS
