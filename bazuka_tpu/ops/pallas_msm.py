@@ -807,6 +807,272 @@ def _msm_program(N: int, c: int, nbits: int, s_tile: int, interpret: bool,
     return run, n_windows
 
 
+# ----------------------------------------------------- v3 balanced drain
+#
+# Measured on chip (tools/profile_msm*.py, round 3): the v2 drain's
+# per-round cost is madd latency (~1.5 ms @ 90k lanes) + an in-loop
+# random row gather (~1.7 ms; ~19 ns/row whether monotone or random),
+# and the data-dependent round count is max bucket occupancy — 2.7x the
+# mean even for uniform scalars (Poisson tail + stuck-bit windows).
+# Both factors multiply: ~3.2 ms x 685 rounds = the entire 3.2 s of a
+# 2^20 MSM.
+#
+# v3 removes both:
+#   * each window's points are sorted by digit ONCE per chunk (one bulk
+#     gather + one tiled transpose, OUTSIDE the sequential chain), so
+#     the drain reads CONTIGUOUS slabs — no in-loop gather;
+#   * lanes are equal-length blocks of the sorted stream (not buckets),
+#     so the drain is a STATIC T = stream/lanes rounds at 100% lane
+#     occupancy, immune to any digit distribution.
+# Run boundaries (bucket changes inside a block) reset the accumulator
+# in-loop (one cheap select); every post-add accumulator is traced, so
+# each run's sum is recovered afterwards with ONE gather at its end
+# round.  The flattened key stream (window*2^c + digit) is globally
+# non-decreasing, hence runs of the same bucket are adjacent and there
+# are provably <= L + Lp of them (distinct keys + block splits); a
+# masked segmented suffix scan merges them, and each bucket's total is
+# looked up by device searchsorted into the same (window, bucket) lane
+# layout the v2 suffix scans consume.  No spread/fold machinery needed.
+
+
+@functools.cache
+def _msm_program_v3(N: int, c: int, nbits: int, s_tile: int,
+                    interpret: bool, chunk: int = 1 << 18,
+                    kind: str = "g1"):
+    """Build + jit the balanced-drain MSM device program (see block
+    comment above).  Same contract as _msm_program: returns (run,
+    n_windows) with run(P_am, inf, scalars) -> (n_proj, 24, n_windows)
+    projective window sums.  Requires inf points to carry zero scalars
+    (msm_lm enforces this), so validity is just digit != 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import weierstrass as wst
+
+    wst.warmup("jax")
+    F = fp_field("jax")
+    n_windows = (nbits + c - 1) // c
+    n_buckets = 1 << c
+    L = n_windows * n_buckets
+    Lp = _pad_lanes(L, s_tile)
+    n_aff = 2 if kind == "g1" else 4
+    n_proj = 3 if kind == "g1" else 6
+    one_plane = 1 if kind == "g1" else 2
+    madd = madd_select_lm if kind == "g1" else madd_select_g2_lm
+    addsel = add_select_lm if kind == "g1" else add_select_g2_lm
+
+    one_mont = F.R_mod_p % F.p
+    one_limbs = np.array(
+        [(one_mont >> (16 * i)) & 0xFFFF for i in range(N_LIMB)], np.uint32
+    )
+
+    def identity_lanes(n_lanes):
+        acc = jnp.zeros((n_proj, N_LIMB, n_lanes), jnp.uint32)
+        return acc.at[one_plane].set(jnp.asarray(one_limbs)[:, None])
+
+    def window_digits(scalars):
+        outs = []
+        for w in range(n_windows):
+            bit0 = w * c
+            limb_i = bit0 // 16
+            shift = bit0 % 16
+            v = scalars[:, limb_i] >> shift
+            rem = 16 - shift
+            if rem < c and limb_i + 1 < scalars.shape[1]:
+                v = v | (scalars[:, limb_i + 1] << rem)
+            outs.append((v & ((1 << c) - 1)).astype(jnp.int32))
+        return jnp.stack(outs)
+
+    CH = min(N, chunk)
+    n_chunks = (N + CH - 1) // CH
+    N_pad = n_chunks * CH
+    M = n_windows * CH           # stream length per chunk
+    T = -(-M // Lp)              # static drain rounds per chunk
+    M_pad = T * Lp
+    # provable run-count bound: distinct keys (<= L) + block splits
+    # (<= Lp); also trivially bounded by the padded stream length
+    R_cap = _pad_lanes(min(L + Lp, T * Lp), s_tile)
+    SENT = jnp.int32(0x7FFFFFFF)
+    max_scan_log = (R_cap - 1).bit_length()
+    STATIC_SCAN = 3  # covers bucket spans <= 8 blocks without a gather
+
+    def run(P_am, inf, scalars):
+        if N_pad != N:
+            P_am = jnp.pad(P_am, ((0, N_pad - N), (0, 0), (0, 0)))
+            inf = jnp.pad(inf, (0, N_pad - N), constant_values=1)
+            scalars = jnp.pad(scalars, ((0, N_pad - N), (0, 0)))
+
+        idp_Lp = identity_lanes(Lp)
+        idp_R = identity_lanes(R_cap)
+        lane_r = jnp.arange(R_cap, dtype=jnp.int32)
+        qkeys = jnp.arange(Lp, dtype=jnp.int32)  # lane q == key q for q < L
+
+        def chunk_body(t, bucket_acc):
+            P_t = jax.lax.dynamic_slice(
+                P_am, (t * CH, 0, 0), (CH, n_aff, 24)
+            )
+            s_t = jax.lax.dynamic_slice(scalars, (t * CH, 0), (CH, 16))
+            digits = window_digits(s_t)                       # (W, CH)
+            order = jnp.argsort(digits, axis=1)
+            d_sorted = jnp.sort(digits, axis=1)
+            key = (
+                jnp.arange(n_windows, dtype=jnp.int32)[:, None] * n_buckets
+                + d_sorted
+            )
+            key_flat = key.reshape(M)
+            valid_flat = d_sorted.reshape(M) != 0
+            if M_pad != M:
+                key_flat = jnp.concatenate(
+                    [key_flat, jnp.full(M_pad - M, SENT, jnp.int32)]
+                )
+                valid_flat = jnp.concatenate(
+                    [valid_flat, jnp.zeros(M_pad - M, bool)]
+                )
+            posm = jnp.arange(M_pad, dtype=jnp.int32)
+            nr_flat = jnp.concatenate(
+                [jnp.ones(1, bool), key_flat[1:] != key_flat[:-1]]
+            ) | (posm % T == 0)
+
+            # run compaction, stream order (keys globally sorted)
+            starts_p = jnp.argsort(
+                ~nr_flat, stable=True
+            )[:R_cap].astype(jnp.int32)
+            R_dyn = jnp.sum(nr_flat.astype(jnp.int32))
+            ridx = jnp.arange(R_cap, dtype=jnp.int32)
+            run_valid = ridx < R_dyn
+            next_start = jnp.concatenate(
+                [starts_p[1:], jnp.full((1,), M_pad, jnp.int32)]
+            )
+            ends_p = jnp.clip(
+                jnp.where(ridx >= R_dyn - 1, M_pad - 1, next_start - 1),
+                0, M_pad - 1,
+            )
+            run_key = jnp.where(run_valid, key_flat[starts_p], SENT)
+
+            # materialize the sorted stream (bulk gather + one transpose)
+            gidx = order.reshape(M)
+            if M_pad != M:
+                gidx = jnp.concatenate(
+                    [gidx, jnp.zeros(M_pad - M, gidx.dtype)]
+                )
+            P_lin = P_t[gidx]                                 # (M_pad, a, 24)
+            P_sched = P_lin.reshape(Lp, T, n_aff, 24).transpose(1, 2, 3, 0)
+            nr_s = nr_flat.reshape(Lp, T).T                   # (T, Lp)
+            val_s = valid_flat.reshape(Lp, T).T
+
+            trace0 = jnp.zeros((n_proj, N_LIMB, T + 1, Lp), jnp.uint32)
+            trace0 = trace0.at[one_plane, :, :, :].set(
+                jnp.asarray(one_limbs)[:, None, None]
+            )
+
+            def body(r, carry):
+                acc, trace = carry
+                pts = jax.lax.dynamic_slice(
+                    P_sched, (r, 0, 0, 0), (1, n_aff, 24, Lp)
+                )[0]
+                nr_r = jax.lax.dynamic_slice(nr_s, (r, 0), (1, Lp))[0]
+                v_r = jax.lax.dynamic_slice(val_s, (r, 0), (1, Lp))[0]
+                acc = jnp.where(nr_r[None, None, :], idp_Lp, acc)
+                acc = madd(acc, pts, v_r, s_tile, interpret)
+                trace = jax.lax.dynamic_update_slice(
+                    trace, acc[:, :, None, :], (0, 0, r + 1, 0)
+                )
+                return acc, trace
+
+            _, trace = jax.lax.fori_loop(
+                0, T, body, (idp_Lp, trace0)
+            )
+
+            # run sums: one gather at each run's end round
+            tr2 = trace.reshape(n_proj, N_LIMB, (T + 1) * Lp)
+            col = (ends_p % T + 1) * Lp + ends_p // T
+            runsum = tr2[:, :, col]                           # (p, 24, R_cap)
+            runsum = jnp.where(run_valid[None, None, :], runsum, idp_R)
+
+            # segmented suffix scan: merge same-key runs into the first
+            def scan_step(acc_r, shifted, m):
+                return addsel(acc_r, shifted, m.astype(jnp.uint32),
+                              s_tile, interpret)
+
+            acc_r = runsum
+            for k in range(STATIC_SCAN):  # static steps: free shifts
+                step = 1 << k
+                shifted = jnp.concatenate(
+                    [acc_r[:, :, step:], idp_R[:, :, :step]], axis=2
+                )
+                kshift = jnp.concatenate(
+                    [run_key[step:], jnp.full(step, SENT, jnp.int32)]
+                )
+                m = (kshift == run_key) & (run_key < SENT)
+                acc_r = scan_step(acc_r, shifted, m)
+
+            def tail_body(state):
+                k, acc_r, _ = state
+                step = jnp.left_shift(jnp.int32(1), k)
+                src = jnp.minimum(lane_r + step, R_cap - 1)
+                m = (
+                    (lane_r + step < R_cap)
+                    & (run_key[src] == run_key)
+                    & (run_key < SENT)
+                )
+                acc_r = scan_step(acc_r, acc_r[:, :, src], m)
+                return k + 1, acc_r, jnp.any(m)
+
+            def tail_cond(state):
+                k, _, moved = state
+                return moved & (k < max_scan_log)
+
+            # seed the tail's `moved` with whether any span survives the
+            # static rounds (a key equal at distance 2^STATIC_SCAN)
+            ksh = jnp.concatenate(
+                [run_key[1 << STATIC_SCAN:],
+                 jnp.full(1 << STATIC_SCAN, SENT, jnp.int32)]
+            )
+            moved0 = jnp.any((ksh == run_key) & (run_key < SENT))
+            _, acc_r, _ = jax.lax.while_loop(
+                tail_cond, tail_body,
+                (jnp.int32(STATIC_SCAN), acc_r, moved0),
+            )
+
+            # bucket placement: first run of key q holds bucket q's sum
+            pos = jnp.searchsorted(run_key, qkeys).astype(jnp.int32)
+            pos_c = jnp.clip(pos, 0, R_cap - 1)
+            hit = (run_key[pos_c] == qkeys) & (qkeys < L)
+            bsum = acc_r[:, :, pos_c]
+            return addsel(bucket_acc, bsum, hit.astype(jnp.uint32),
+                          s_tile, interpret)
+
+        acc = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, identity_lanes(Lp)
+        )
+
+        # suffix scans (identical to v2): total_w = Sigma_j>=1 S_j
+        lane_idx = jnp.arange(Lp, dtype=jnp.int32)
+        bucket_of_lane = lane_idx % n_buckets
+
+        def suffix_scan(acc):
+            def body(i, acc):
+                shift = jnp.left_shift(jnp.int32(1), i)
+                src = jnp.minimum(lane_idx + shift, Lp - 1)
+                shifted = acc[:, :, src]
+                ok = bucket_of_lane < n_buckets - shift
+                return addsel(acc, shifted, ok, s_tile, interpret)
+
+            return jax.lax.fori_loop(0, c, body, acc)
+
+        suffix = suffix_scan(acc)
+        not_b0 = bucket_of_lane != 0
+        idp = identity_lanes(Lp)
+        suffix = jnp.where(not_b0[None, None, :], suffix, idp)
+        total = suffix_scan(suffix)
+        win_lanes = jnp.arange(n_windows, dtype=jnp.int32) * n_buckets + 1
+        return total[:, :, win_lanes]
+
+    if not interpret:
+        run = jax.jit(run)
+    return run, n_windows
+
+
 # ------------------------------------------------- duplicate-scalar presum
 #
 # Witness MSMs (Groth16 a/b/l queries × the assignment z) violate the
@@ -1036,6 +1302,20 @@ def apply_dedup_g1(P_am, inf, scalars_std, plan: _DedupPlan):
 # --------------------------------------------------------------- host API
 
 
+def _use_v3(N: int, chunk: int) -> bool:
+    """Balanced drain engages for chunk-sized-and-up MSMs (where the
+    v2 drain's occupancy tail and in-loop gather dominate); the
+    override BAZUKA_MSM_ALGO=v2|v3 forces either path everywhere."""
+    import os
+
+    algo = os.environ.get("BAZUKA_MSM_ALGO")
+    if algo == "v2":
+        return False
+    if algo == "v3":
+        return True
+    return N >= chunk
+
+
 def points_to_am(points, backend: str = "jax"):
     """Host affine G1 points ((x, y) or None) -> ((N, 2, 24) point-major
     Montgomery affine array, (N,) uint32 infinity mask): each point is
@@ -1071,6 +1351,8 @@ def msm_lm(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
     bucket accumulation, projective fold + suffix scans); the final
     window combine (c doublings + add per window) runs host-side.
     Pass dedup_plan for duplicate-heavy scalar vectors (witnesses)."""
+    import jax.numpy as jnp
+
     from ..crypto import bls12_381 as bls
     from . import weierstrass as wst
 
@@ -1079,7 +1361,17 @@ def msm_lm(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
             P_am, inf, scalars_std, dedup_plan
         )
     N = int(scalars_std.shape[0])
-    run, n_windows = _msm_program(N, c, nbits, s_tile, interpret, chunk)
+    if _use_v3(N, chunk):
+        # v3 derives validity from digit != 0, so infinity points must
+        # carry zero scalars (pads already do; enforce for the rest)
+        scalars_std = jnp.where(
+            (inf != 0)[:, None], jnp.zeros_like(scalars_std), scalars_std
+        )
+        run, n_windows = _msm_program_v3(
+            N, c, nbits, s_tile, interpret, chunk
+        )
+    else:
+        run, n_windows = _msm_program(N, c, nbits, s_tile, interpret, chunk)
     wins = np.asarray(run(P_am, inf, scalars_std))  # (3, 24, W)
     K_np = wst.fp_ops("np")
     host_pts = wst.g1_from_proj(
@@ -1138,8 +1430,18 @@ def msm_lm_g2(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
             P_am, inf, scalars_std, dedup_plan
         )
     N = int(scalars_std.shape[0])
-    run, n_windows = _msm_program(N, c, nbits, s_tile, interpret, chunk,
-                                  "g2")
+    if _use_v3(N, chunk):
+        import jax.numpy as jnp
+
+        scalars_std = jnp.where(
+            (inf != 0)[:, None], jnp.zeros_like(scalars_std), scalars_std
+        )
+        run, n_windows = _msm_program_v3(
+            N, c, nbits, s_tile, interpret, chunk, "g2"
+        )
+    else:
+        run, n_windows = _msm_program(N, c, nbits, s_tile, interpret,
+                                      chunk, "g2")
     wins = np.asarray(run(P_am, inf, scalars_std))  # (6, 24, W)
     K_np = wst.fp2_ops("np")
     host_pts = wst.g2_from_proj(

@@ -81,3 +81,55 @@ def test_msm_g2():
     pts = [bls.g2_mul(bls.G2_GEN, int(k)) for k in rng.integers(1, 2**20, size=n)]
     scalars = [int(s) for s in rng.integers(0, 2**63, size=n)]
     assert msm_g2_host(pts, scalars, c=4, nbits=64) == naive_g2(pts, scalars)
+
+
+# ---------------------------------------------------- v3 balanced drain
+#
+# The round-3 drain (pallas_msm._msm_program_v3): sorted-stream blocks,
+# static round count, run trace + segmented merge.  Forced at tiny sizes
+# by passing chunk == N (the auto rule engages it when N >= chunk).
+
+
+def _v3_msm(pts, scalars, c, nbits, chunk):
+    from bazuka_tpu.ops.msm import _enc_scalars
+    from bazuka_tpu.ops import pallas_msm as pm
+
+    P_am, inf = pm.points_to_am(pts)
+    s = _enc_scalars(scalars, "jax")
+    return pm.msm_lm(P_am, inf, s, c=c, nbits=nbits, chunk=chunk)
+
+
+def test_msm_g1_v3():
+    """One shared shape (n=16, c=4, 64-bit): duplicate runs, zero
+    digits, and infinity rows exercise the run-boundary/validity logic.
+    (XLA:CPU executes each compiled v3 shape in ~tens of seconds, so
+    the cases share one compile; chip-scale checks live in
+    tools/profile_msm*.py.)"""
+    pts = [bls.g1_mul(bls.G1_GEN, k) for k in range(1, 17)]
+    pts[3] = None
+    scalars = [7, 7, 7, 5, 0, 0, 1, 2**63 - 1] + list(range(11, 19))
+    want = naive_g1(pts, scalars)
+    assert _v3_msm(pts, scalars, c=4, nbits=64, chunk=16) == want
+
+
+def test_msm_g1_v3_multichunk():
+    """Bucket runs split across chunk boundaries must merge exactly
+    (same compiled shape for both chunks)."""
+    pts = [bls.g1_mul(bls.G1_GEN, k) for k in range(1, 17)]
+    scalars = [3] * 10 + list(range(100, 106))  # one run spans chunks
+    want = naive_g1(pts, scalars)
+    assert _v3_msm(pts, scalars, c=4, nbits=64, chunk=8) == want
+
+
+def test_msm_g2_v3():
+    rng = np.random.default_rng(3)
+    n = 8
+    pts = [bls.g2_mul(bls.G2_GEN, int(k)) for k in rng.integers(1, 2**20, size=n)]
+    scalars = [int(s) for s in rng.integers(0, 2**63, size=n)]
+    from bazuka_tpu.ops import pallas_msm as pm
+    from bazuka_tpu.ops.msm import _enc_scalars
+
+    P_am, inf = pm.points_to_am_g2(pts)
+    s = _enc_scalars(scalars, "jax")
+    got = pm.msm_lm_g2(P_am, inf, s, c=4, nbits=64, chunk=n)
+    assert got == naive_g2(pts, scalars)
