@@ -320,6 +320,12 @@ class LimbField:
         return self.mont_mul(a, r2)
 
     def from_mont(self, a):
+        if self._pallas_ok(tuple(a.shape)):
+            # REDC(a*1) == a*R^{-1}: rides the VMEM-tiled Pallas kernel,
+            # whose live set is O(tile) — the raw redc path materializes
+            # (B, n, 2n) u32 temps (7.5 GB at mainnet keygen sizes)
+            one = self.xp.asarray(int_to_limbs(1, self.n))
+            return self.mont_mul(a, one[None])
         pad = self.xp.zeros(a.shape[:-1] + (self.n,), np.uint32)
         return self.redc(self.xp.concatenate([a, pad], axis=-1))
 

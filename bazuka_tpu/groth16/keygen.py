@@ -126,6 +126,65 @@ def _gen_mul_chunked(scalars_std, kind: str, backend: str):
     return tuple(cat([o[ci] for o in outs]) for ci in range(3))
 
 
+def _gen_mul_am_host(scalars_std, kind: str, backend: str,
+                     out_am=None, out_inf=None, out_lo: int = 0):
+    """Streamed fixed-base multiply for mainnet-scale keys: each
+    GEN_CHUNK batch is multiplied, batch-inverted to point-major affine
+    ON DEVICE, then offloaded to HOST numpy — device live-set stays
+    O(chunk) no matter how many millions of key elements are generated
+    (an all-resident (56M, 3, 24) projective tensor at batch=256 would
+    be ~16 GB of HBM by itself).  Writes into out_am/out_inf at out_lo
+    if given (zero-copy assembly of padded query arrays), else
+    allocates.  Returns host (M, n_aff, 24) uint32 + (M,) uint32."""
+    F = fr_field(backend)
+    xp = F.xp
+    M = int(scalars_std.shape[0])
+    chunk = min(GEN_CHUNK, max(256, M))
+    n_aff = 2 if kind == "g1" else 4
+    if out_am is None:
+        out_am = np.zeros((M, n_aff, 24), np.uint32)
+        out_inf = np.ones((M,), np.uint32)
+        out_lo = 0
+    to_am = g1_proj_to_am if kind == "g1" else wst.g2_proj_to_am
+    for lo in range(0, M, chunk):
+        sl = xp.asarray(scalars_std[lo : lo + chunk])
+        n = int(sl.shape[0])
+        if n < chunk:
+            pad = xp.zeros((chunk - n, sl.shape[1]), sl.dtype)
+            sl = xp.concatenate([sl, pad], axis=0)
+        proj = wst.batch_gen_mul(sl, kind, backend)
+        am, inf = to_am(proj, backend)
+        out_am[out_lo + lo : out_lo + lo + n] = np.asarray(am)[:n]
+        out_inf[out_lo + lo : out_lo + lo + n] = np.asarray(inf)[:n]
+    return out_am, out_inf
+
+
+def _decode_g1_am(am: np.ndarray, inf: np.ndarray) -> List[bls.G1Point]:
+    """Host point-major affine Montgomery rows -> host affine points."""
+    from ..fields.limbs import fp_field
+
+    F = fp_field("np")
+    xs = F.decode(am[:, 0, :])
+    ys = F.decode(am[:, 1, :])
+    return [
+        None if i else (int(x), int(y))
+        for x, y, i in zip(xs, ys, inf)
+    ]
+
+
+def _decode_g2_am(am: np.ndarray, inf: np.ndarray) -> List[bls.G2Point]:
+    from ..fields.limbs import fp_field
+
+    F = fp_field("np")
+    c = [F.decode(am[:, k, :]) for k in range(4)]
+    return [
+        None if i else (
+            (int(c[0][j]), int(c[1][j])), (int(c[2][j]), int(c[3][j]))
+        )
+        for j, i in enumerate(inf)
+    ]
+
+
 def _decode_g1_slice(proj, lo: int, hi: int) -> List[bls.G1Point]:
     sl = tuple(np.asarray(c[lo:hi]) for c in proj)
     return wst.g1_from_proj(wst.fp_ops("np"), sl)
@@ -137,9 +196,17 @@ def _decode_g2_slice(proj, lo: int, hi: int) -> List[bls.G2Point]:
 
 
 def generate_parameters(
-    cs: ConstraintSystem, seed: bytes = b"bazuka-tpu-dev", backend: str = "jax"
+    cs: ConstraintSystem, seed: bytes = b"bazuka-tpu-dev",
+    backend: str = "jax", device_queries: Optional[bool] = None,
 ) -> Parameters:
-    """Deterministic Groth16 setup for the circuit recorded in `cs`."""
+    """Deterministic Groth16 setup for the circuit recorded in `cs`.
+
+    Query arrays are assembled HOST-side (the fixed-base multiplies
+    stream GEN_CHUNK batches through the device and offload affine
+    rows), then uploaded to the device iff they fit comfortably —
+    device_queries=None auto-selects by padded length (<= 2^22 keeps
+    ~5 GB of queries resident; the batch=256 mainnet circuit's 2^24
+    queries stay host-side and the prover uploads per MSM)."""
     comp = cs.compiled()
     dev = DeviceR1CS(comp, backend)
     num_vars, n_inputs = comp.num_vars, comp.num_inputs
@@ -175,76 +242,62 @@ def generate_parameters(
     for _ in range(d - 1):
         h_scalars.append(acc)
         acc = acc * tau % R
-    h_std = xp.asarray(F.encode(np.array(h_scalars, dtype=object), mont=False))
+    h_std = F.encode(np.array(h_scalars, dtype=object), mont=False)
+    del h_scalars
 
-    # assemble ONE standard-form G1 scalar array and multiply in chunks
-    head_std = xp.asarray(
-        F.encode(np.array([alpha, beta, delta], dtype=object), mont=False)
+    head_std = F.encode(
+        np.array([alpha, beta, delta], dtype=object), mont=False
     )
-    u_std = F.from_mont(u_m)
-    v_std = F.from_mont(v_m)
-    ic_std = F.from_mont(ic_m)
-    l_std = F.from_mont(l_m)
-    g1_scalars = xp.concatenate([head_std, u_std, v_std, ic_std, l_std, h_std])
-    g1_proj = _gen_mul_chunked(g1_scalars, "g1", backend)
-    # ONE batched Fermat inversion converts every G1 query point to the
-    # point-major affine form the mixed-add MSM consumes
-    am_all, inf_all = g1_proj_to_am(g1_proj, backend)
+    u_std = np.asarray(F.from_mont(u_m))
+    v_std = np.asarray(F.from_mont(v_m))
+    ic_std = np.asarray(F.from_mont(ic_m))
+    l_std = np.asarray(F.from_mont(l_m))
+    del u_m, v_m, w_m, combo, ic_m, l_m  # free device HBM before gen muls
 
-    off = [0]
     # all G1 queries share one padded length -> the prover's 4 G1 MSMs
-    # share ONE compiled device program (ops.pallas_msm.msm_pad_len)
+    # share ONE compiled device program (ops.pallas_msm.msm_pad_len);
+    # each query is streamed through the device in GEN_CHUNK batches and
+    # assembled directly into its padded host array (pad rows are
+    # infinity; inf masks start all-ones)
     from ..ops.pallas_msm import msm_pad_len
 
     Np = msm_pad_len(max(num_vars, d - 1))
 
-    def take_am(n):
-        lo = off[0]
-        off[0] = lo + n
-        am = xp.concatenate(
-            [am_all[lo : lo + n],
-             xp.zeros((Np - n,) + am_all.shape[1:], am_all.dtype)]
-        )
-        inf = xp.concatenate(
-            [inf_all[lo : lo + n],
-             xp.ones((Np - n,), inf_all.dtype)]
-        )
+    def make_query(scalars, n):
+        assert scalars.shape[0] == n, (scalars.shape, n)
+        am = np.zeros((Np, 2, 24), np.uint32)
+        inf = np.ones((Np,), np.uint32)
+        _gen_mul_am_host(scalars, "g1", backend, am, inf, 0)
         return (am, inf)
 
-    head_pts = _decode_g1_slice(g1_proj, 0, 3)
-    off[0] = 3
-    alpha_g1, beta_g1, delta_g1 = head_pts
-    a_query = take_am(num_vars)
-    b_g1_query = take_am(num_vars)
-    ic_lo = off[0]
-    off[0] += n_inputs
-    ic_pts = _decode_g1_slice(g1_proj, ic_lo, ic_lo + n_inputs)
-    l_query = take_am(num_vars - n_inputs)
-    h_query = take_am(d - 1)
+    head_am, head_inf = _gen_mul_am_host(head_std, "g1", backend)
+    alpha_g1, beta_g1, delta_g1 = _decode_g1_am(head_am, head_inf)
+    a_query = make_query(u_std, num_vars)
+    b_g1_query = make_query(v_std, num_vars)
+    ic_am, ic_inf = _gen_mul_am_host(ic_std, "g1", backend)
+    ic_pts = _decode_g1_am(ic_am, ic_inf)
+    l_query = make_query(l_std, num_vars - n_inputs)
+    h_query = make_query(h_std, d - 1)
 
-    # G2: [beta, gamma, delta] + v
-    g2_scalars = xp.concatenate(
-        [
-            xp.asarray(
-                F.encode(np.array([beta, gamma, delta], dtype=object), mont=False)
-            ),
-            v_std,
-        ]
+    # G2: [beta, gamma, delta] head + v tail, same streamed assembly
+    g2_head_std = F.encode(
+        np.array([beta, gamma, delta], dtype=object), mont=False
     )
-    g2_proj = _gen_mul_chunked(g2_scalars, "g2", backend)
-    beta_g2, gamma_g2, delta_g2 = _decode_g2_slice(g2_proj, 0, 3)
-    # point-major affine (Np, 4, 24) + infinity mask — the v2 G2 MSM
-    # layout (one batched Fp2 inversion); padded to Np like the G1
-    # queries so the G2 MSM shares the prover's (Np, 16) scalar arrays
-    g2_tail = tuple(tuple(x[3:] for x in c) for c in g2_proj)
-    am4, inf4 = wst.g2_proj_to_am(g2_tail, backend)
-    n_pad = Np - num_vars
-    b_g2_query = (
-        xp.concatenate(
-            [am4, xp.zeros((n_pad,) + am4.shape[1:], am4.dtype)]
-        ),
-        xp.concatenate([inf4, xp.ones((n_pad,), inf4.dtype)]),
-    )
+    g2h_am, g2h_inf = _gen_mul_am_host(g2_head_std, "g2", backend)
+    beta_g2, gamma_g2, delta_g2 = _decode_g2_am(g2h_am, g2h_inf)
+    b_g2_am = np.zeros((Np, 4, 24), np.uint32)
+    b_g2_inf = np.ones((Np,), np.uint32)
+    _gen_mul_am_host(v_std, "g2", backend, b_g2_am, b_g2_inf, 0)
+    b_g2_query = (b_g2_am, b_g2_inf)
+
+    if device_queries is None:
+        device_queries = Np <= (1 << 22)
+    if device_queries:
+        a_query = tuple(xp.asarray(a) for a in a_query)
+        b_g1_query = tuple(xp.asarray(a) for a in b_g1_query)
+        l_query = tuple(xp.asarray(a) for a in l_query)
+        h_query = tuple(xp.asarray(a) for a in h_query)
+        b_g2_query = tuple(xp.asarray(a) for a in b_g2_query)
 
     pk = ProvingKey(
         alpha_g1=alpha_g1,
@@ -302,8 +355,12 @@ def save_parameters(params: Parameters, path: str) -> None:
     np.savez(path, **arrs)
 
 
-def load_parameters(path: str, backend: str = "jax") -> Parameters:
-    """Inverse of save_parameters; query tensors go back on device."""
+def load_parameters(path: str, backend: str = "jax",
+                    device_queries: Optional[bool] = None) -> Parameters:
+    """Inverse of save_parameters.  device_queries=None auto-selects
+    like generate_parameters: query tensors go back on device when they
+    fit (padded length <= 2^22), else stay host-side numpy and the
+    prover uploads per MSM."""
     import pickle
 
     from ..fields.limbs import fp_field
@@ -311,11 +368,14 @@ def load_parameters(path: str, backend: str = "jax") -> Parameters:
     xp = fp_field(backend).xp
     z = np.load(path)
     head = pickle.loads(z["head"].tobytes())
+    if device_queries is None:
+        device_queries = z["a_query_inf"].shape[0] <= (1 << 22)
+    up = xp.asarray if device_queries else np.asarray
     qs = {
-        name: (xp.asarray(z[name + "_am"]), xp.asarray(z[name + "_inf"]))
+        name: (up(z[name + "_am"]), up(z[name + "_inf"]))
         for name in ("a_query", "b_g1_query", "l_query", "h_query")
     }
-    b_g2 = (xp.asarray(z["b_g2_am"]), xp.asarray(z["b_g2_inf"]))
+    b_g2 = (up(z["b_g2_am"]), up(z["b_g2_inf"]))
     pk = ProvingKey(
         alpha_g1=head["alpha_g1"],
         beta_g1=head["beta_g1"],

@@ -143,28 +143,42 @@ def create_proof(
     # thousands of boolean wires — which would blow the bucket drain's
     # round count; the dedup plans pre-reduce them (pallas_msm.presum).
     # h scalars are NTT outputs (statistically unique) — no plan.
+    #
+    # Mainnet-scale keys (Np = 2^24 at batch=256) keep their query
+    # tensors HOST-side (~19 GB would not fit HBM all at once); each
+    # MSM uploads its query and releases it before the next.
+    def _up(query):
+        if isinstance(query[0], np.ndarray):
+            return tuple(F.xp.asarray(a) for a in query)
+        return query
+
     c_full = _msm_c(Np)
     plan_z = pmsm.make_dedup_plan(z_np)
     plan_aux = plan_z.derive_shifted(n_inputs)
     _tick("dedup plans (host np.unique)")
-    sum_az = pmsm.msm_lm(*pk.a_query, z_p, c=c_full, dedup_plan=plan_z)
+    q = _up(pk.a_query)
+    sum_az = pmsm.msm_lm(*q, z_p, c=c_full, dedup_plan=plan_z)
     _tick("MSM a")
-    sum_bz_g1 = pmsm.msm_lm(*pk.b_g1_query, z_p, c=c_full, dedup_plan=plan_z)
+    q = _up(pk.b_g1_query)
+    sum_bz_g1 = pmsm.msm_lm(*q, z_p, c=c_full, dedup_plan=plan_z)
     _tick("MSM b_g1")
-    sum_bz_g2 = _g2_msm(pk.b_g2_query, z_p, backend, plan=plan_z,
-                        c=c_full)
+    q = _up(pk.b_g2_query)
+    sum_bz_g2 = _g2_msm(q, z_p, backend, plan=plan_z, c=c_full)
     _tick("MSM b_g2")
+    q = _up(pk.h_query)
     sum_h = (
-        pmsm.msm_lm(*pk.h_query, _pad_rows(F, h_std, Np), c=c_full)
+        pmsm.msm_lm(*q, _pad_rows(F, h_std, Np), c=c_full)
         if d > 1
         else None
     )
     _tick("MSM h")
+    q = _up(pk.l_query)
     sum_l = (
-        pmsm.msm_lm(*pk.l_query, aux_p, c=c_full, dedup_plan=plan_aux)
+        pmsm.msm_lm(*q, aux_p, c=c_full, dedup_plan=plan_aux)
         if num_vars > n_inputs
         else None
     )
+    del q
     _tick("MSM l")
 
     g1a = bls.g1_add

@@ -110,31 +110,104 @@ def _eval_fn(backend: str, T: int, n1: int, n_seg: int):
     return run
 
 
+_TCHUNK = 1 << 21  # terms per streamed eval pass (~0.5 GB live HBM)
+
+
+@functools.cache
+def _eval_chunk_fn(backend: str, n1: int):
+    """jitted accumulate step of the streamed eval: one term chunk's
+    products are level-1 segment-summed into the running (n1, 16) raw
+    uint32 partials (level-1 groups hold <= 2^15 16-bit limbs GLOBALLY,
+    so cross-chunk accumulation cannot overflow).  Pad terms carry
+    l1_id == n1 and fall into a dummy row that is dropped."""
+    F = fr_field(backend)
+
+    def run(tbl_mont, pal_mont, op_idx, cid_idx, l1_ids, s1):
+        import jax
+
+        products = F.mont_mul(tbl_mont[op_idx], pal_mont[cid_idx])
+        part = jax.ops.segment_sum(products, l1_ids, num_segments=n1 + 1)
+        return s1 + part[:n1]
+
+    if backend == "jax":
+        import jax
+
+        run = jax.jit(run, donate_argnums=(5,))
+    return run
+
+
+@functools.cache
+def _finish_fn(backend: str, n1: int, n_seg: int):
+    F = fr_field(backend)
+    _reduce_consts(backend)
+
+    def run(s1, l1_seg):
+        import jax
+
+        r1 = redundant_reduce(F, s1)
+        s2 = jax.ops.segment_sum(r1, l1_seg, num_segments=n_seg)
+        return redundant_reduce(F, s2)
+
+    if backend == "jax":
+        import jax
+
+        run = jax.jit(run)
+    return run
+
+
 class _MatPlan:
-    """Device-resident plan for one sparse matrix × one segmentation."""
+    """Plan for one sparse matrix × one segmentation.  Index arrays stay
+    HOST-side; the one-shot path uploads them whole (small circuits),
+    the streamed path (T > _TCHUNK — mainnet batch sizes, where a
+    single (T, 16) product tensor would exhaust HBM) uploads and
+    reduces one _TCHUNK slice at a time."""
 
     def __init__(self, op_idx, cids, seg_ids, n_seg, backend):
         order = np.argsort(seg_ids, kind="stable")
         seg_sorted = seg_ids[order]
         l1_ids, n1, l1_seg = _two_level_plan(seg_sorted, n_seg)
-        F = fr_field(backend)
-        xp = F.xp
         self.T = op_idx.shape[0]
         self.n1 = n1
         self.n_seg = n_seg
-        self.op_idx = xp.asarray(op_idx[order])
-        self.cid_idx = xp.asarray(cids[order])
-        self.l1_ids = xp.asarray(l1_ids)
-        self.l1_seg = xp.asarray(l1_seg)
+        self.op_idx = op_idx[order].astype(np.int32)
+        self.cid_idx = cids[order].astype(np.int32)
+        self.l1_ids = l1_ids
+        self.l1_seg = l1_seg
         self.backend = backend
+        self._dev = None
 
     def eval(self, tbl_mont, pal_mont):
+        F = fr_field(self.backend)
+        xp = F.xp
         if self.T == 0:
-            F = fr_field(self.backend)
             return F.zeros((self.n_seg,))
-        fn = _eval_fn(self.backend, self.T, self.n1, self.n_seg)
-        return fn(tbl_mont, pal_mont, self.op_idx, self.cid_idx,
-                  self.l1_ids, self.l1_seg)
+        if self.T <= _TCHUNK:
+            if self._dev is None:
+                self._dev = tuple(
+                    xp.asarray(a) for a in
+                    (self.op_idx, self.cid_idx, self.l1_ids, self.l1_seg)
+                )
+            fn = _eval_fn(self.backend, self.T, self.n1, self.n_seg)
+            return fn(tbl_mont, pal_mont, *self._dev)
+        step = _eval_chunk_fn(self.backend, self.n1)
+        s1 = xp.zeros((self.n1, 16), xp.uint32 if hasattr(xp, "uint32")
+                      else np.uint32)
+        for lo in range(0, self.T, _TCHUNK):
+            hi = min(lo + _TCHUNK, self.T)
+            op = self.op_idx[lo:hi]
+            cid = self.cid_idx[lo:hi]
+            l1 = self.l1_ids[lo:hi]
+            if hi - lo < _TCHUNK:
+                pad = _TCHUNK - (hi - lo)
+                op = np.concatenate([op, np.zeros(pad, np.int32)])
+                cid = np.concatenate([cid, np.zeros(pad, np.int32)])
+                l1 = np.concatenate(
+                    [l1, np.full(pad, self.n1, np.int32)]
+                )
+            s1 = step(tbl_mont, pal_mont, xp.asarray(op), xp.asarray(cid),
+                      xp.asarray(l1), s1)
+        fin = _finish_fn(self.backend, self.n1, self.n_seg)
+        return fin(s1, xp.asarray(self.l1_seg))
 
 
 class DeviceR1CS:
@@ -157,9 +230,7 @@ class DeviceR1CS:
         ext_rows = np.arange(n, n + ni, dtype=np.int32)
         ext_vars = np.arange(ni, dtype=np.int32)
         ext_cids = np.full(ni, one_cid, dtype=np.int32)
-
-        self.row_plans: List[_MatPlan] = []
-        self.col_plans: List[_MatPlan] = []
+        self._mats = []
         for m in range(3):
             rows, vars_, cids = (
                 compiled.rows[m], compiled.vars[m], compiled.cids[m],
@@ -168,14 +239,30 @@ class DeviceR1CS:
                 rows = np.concatenate([rows, ext_rows])
                 vars_ = np.concatenate([vars_, ext_vars])
                 cids = np.concatenate([cids, ext_cids])
-            # row eval: gather z by var, sum by row
-            self.row_plans.append(
-                _MatPlan(vars_, cids, rows, self.n_rows, backend)
-            )
-            # column eval: gather L by row, sum by var
-            self.col_plans.append(
-                _MatPlan(rows, cids, vars_, compiled.num_vars, backend)
-            )
+            self._mats.append((rows, vars_, cids))
+        # plans are built lazily: the prover only ever needs row plans,
+        # keygen only column plans — at mainnet batch sizes each set's
+        # index arrays are hundreds of MB
+        self._row_plans: List[_MatPlan] = []
+        self._col_plans: List[_MatPlan] = []
+
+    @property
+    def row_plans(self):
+        if not self._row_plans:
+            self._row_plans = [
+                _MatPlan(v, c, r, self.n_rows, self.backend)
+                for r, v, c in self._mats
+            ]
+        return self._row_plans
+
+    @property
+    def col_plans(self):
+        if not self._col_plans:
+            self._col_plans = [
+                _MatPlan(r, c, v, self.c.num_vars, self.backend)
+                for r, v, c in self._mats
+            ]
+        return self._col_plans
 
     def eval_rows(self, z_mont):
         """z_mont: (num_vars, n) mont limbs -> 3×(n_rows, n) mont evals."""

@@ -14,33 +14,31 @@ _DONE = False
 
 
 def _host_fingerprint() -> str:
-    """Short hash of the host CPU's feature flags AND the XLA context.
-    XLA:CPU caches AOT machine code specialized to the compiling host;
-    executing an entry compiled on a host with different vector
-    extensions SIGILLs/segfaults (observed across fleet machines).
-    The XLA context matters too: processes that initialize the CPU
-    client alongside a TPU plugin compile with extra LLVM tunings
-    (+prefer-no-scatter/+prefer-no-gather) that are recorded as
-    "machine features", so their entries fail to load under plain
-    JAX_PLATFORMS=cpu on the SAME host — each load failure logs a
-    full feature-mismatch spam line and forces a recompile (the round-2
-    MULTICHIP timeout).  Keying by (cpu flags, XLA_FLAGS, platform
-    env) gives every context its own always-loadable entries."""
+    """Short hash of the host CPU's feature flags.  XLA:CPU caches AOT
+    machine code specialized to the compiling host; executing an entry
+    compiled on a host with different vector extensions SIGILLs/segfaults
+    (observed across fleet machines).  Keying the cache dir by the flag
+    set makes entries portable-safe while still shared per machine type.
+
+    Known cosmetic quirk (XLA 0.9, measured round 3): a subset of CPU
+    entries record LLVM tuning pseudo-features (+prefer-no-scatter/
+    +prefer-no-gather) as machine features and then NEVER reload — two
+    ERROR log lines + a recompile per program, in EVERY context,
+    including the one that compiled them.  Splitting the cache by XLA
+    context was tried and does not help (the tunings are recorded
+    regardless); it only fragments the cache and multiplies cold
+    compiles, so the key stays cpuinfo-only."""
     import hashlib
 
-    ctx = os.environ.get("XLA_FLAGS", "") + "|" + os.environ.get(
-        "JAX_PLATFORMS", ""
-    )
-    flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
     except OSError:
         pass
-    return hashlib.sha1((flags + "|" + ctx).encode()).hexdigest()[:12]
+    return "generic"
 
 
 def enable_compile_cache(path: str = "/root/.cache/bazuka_tpu_xla",
