@@ -231,6 +231,58 @@ class LimbField:
         d, borrow = self._sub_raw(a, self.p_limbs)
         return self.xp.where((borrow != 0)[..., None], a, d)
 
+    # Multiply formulation:
+    #   "rows"  — schoolbook as statically-shifted partial-product rows
+    #             (dense elementwise HLO; XLA:TPU fuses it well, but
+    #             XLA:CPU's LLVM codegen takes ~2 min for ONE curve add
+    #             built from it — measured round 4)
+    #   "dot"   — 8-bit sublimb outer product contracted against a
+    #             precomputed one-hot column tensor with a single int32
+    #             matmul (a library call on CPU: compiles in seconds,
+    #             bit-identical results)
+    #   "auto"  — "dot" off-TPU, "rows" on TPU
+    mul_impl: str = "auto"
+
+    def _mul_dot(self) -> bool:
+        if self.backend != "jax" or self.mul_impl == "rows":
+            return False
+        if self.mul_impl == "dot":
+            return True
+        import jax
+
+        return jax.default_backend() != "tpu"
+
+    @functools.cached_property
+    def _col_onehot(self):
+        """(2n*2n, 4n) int32 one-hot: E[i*2n+j, k] = 1 iff i+j == k.
+        Contracting the 8-bit sublimb outer product against it sums the
+        product columns in ONE dot op.  Kept as a HOST numpy constant:
+        converting inside a trace would cache a tracer (leak)."""
+        m = 2 * self.n
+        E = np.zeros((m * m, 2 * m), np.int32)
+        for i in range(m):
+            for j in range(m):
+                E[i * m + j, i + j] = 1
+        return E
+
+    def _mul_cols_dot(self, a, b, n_cols: int):
+        """First n_cols 16-bit columns of a*b via the one-hot dot.
+        Sublimbs are 8-bit, so every outer product fits int32 and each
+        8-bit column sum is < 2n*255^2 < 2^22; recombining neighbor
+        columns (lo + (hi<<8)) stays < 2^31.  Output feeds _carry."""
+        xp = self.xp
+        n = self.n
+        a, b = xp.broadcast_arrays(a, b)
+        a8 = xp.stack([a & 0xFF, a >> 8], axis=-1).reshape(a.shape[:-1] + (2 * n,))
+        b8 = xp.stack([b & 0xFF, b >> 8], axis=-1).reshape(b.shape[:-1] + (2 * n,))
+        prod = (a8[..., :, None] * b8[..., None, :]).astype(np.int32)
+        flat = prod.reshape(prod.shape[:-2] + (4 * n * n,))
+        cols8 = flat @ self._col_onehot  # (..., 4n) 8-bit-scale columns
+        cols = (cols8[..., 0 : 2 * n_cols : 2]
+                + (cols8[..., 1 : 2 * n_cols : 2] << 8)).astype(np.uint32)
+        limbs, _ = self._carry(cols)
+        return limbs
+
     def mul_wide(self, a, b):
         """Full 2n-limb product of two n-limb values (normalized).
 
@@ -241,6 +293,8 @@ class LimbField:
         Column sums stay < n·2^17 < 2^22, so one carry sweep suffices."""
         xp = self.xp
         n = self.n
+        if self._mul_dot():
+            return self._mul_cols_dot(a, b, 2 * n)
         a, b = xp.broadcast_arrays(a, b)
         prod = a[..., :, None] * b[..., None, :]  # (..., i, j) 32-bit products
         lo = prod & MASK
@@ -260,6 +314,8 @@ class LimbField:
         truncated to n columns."""
         xp = self.xp
         n = self.n
+        if self._mul_dot():
+            return self._mul_cols_dot(a, b, n)
         a, b = xp.broadcast_arrays(a, b)
         prod = a[..., :, None] * b[..., None, :]
         lo = prod & MASK

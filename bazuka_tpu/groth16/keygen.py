@@ -291,7 +291,9 @@ def generate_parameters(
     b_g2_query = (b_g2_am, b_g2_inf)
 
     if device_queries is None:
-        device_queries = Np <= (1 << 22)
+        # 2^22 x 5 queries (~4.8 GB) plus the G2 drain's scratch OOM'd the
+        # 16 GB chip at batch=64 (round 4) - cap residency at 2^21
+        device_queries = Np <= (1 << 21)
     if device_queries:
         a_query = tuple(xp.asarray(a) for a in a_query)
         b_g1_query = tuple(xp.asarray(a) for a in b_g1_query)
@@ -369,7 +371,7 @@ def load_parameters(path: str, backend: str = "jax",
     z = np.load(path)
     head = pickle.loads(z["head"].tobytes())
     if device_queries is None:
-        device_queries = z["a_query_inf"].shape[0] <= (1 << 22)
+        device_queries = z["a_query_inf"].shape[0] <= (1 << 21)
     up = xp.asarray if device_queries else np.asarray
     qs = {
         name: (up(z[name + "_am"]), up(z[name + "_inf"]))

@@ -88,40 +88,51 @@ def dft_host(values) -> list:
 
 @functools.cache
 def _stage_twiddles(log_n: int, inverse: bool, backend: str):
-    """Per-stage Montgomery twiddle tables: stage s has half=2^s, twiddles
-    w_m^j for j<half where w_m = w^(n/2^(s+1)).  Returned as a list of
-    (half, 16) arrays (ragged across stages, so not stacked)."""
+    """All stages' Montgomery twiddles PACKED in one (n-1, 16) array:
+    stage s (half=2^s, w_m = w^(n/2^(s+1))) owns rows
+    [2^s - 1, 2^(s+1) - 1).  One array so it can be passed to the
+    jitted stage loop as a RUNTIME ARGUMENT — embedding it as a program
+    constant put 268 MB of twiddles in the 2^22 module, which broke the
+    compile-RPC payload limit and bloats the persistent cache."""
     F = fr_field(backend)
     n = 1 << log_n
     w = root_of_unity(log_n)
     if inverse:
         w = pow(w, -1, P)
-    out = []
+    tw = []
     for s in range(log_n):
         half = 1 << s
         w_m = pow(w, n // (2 * half), P)
-        tw = [pow(w_m, j, P) for j in range(half)]
-        out.append(F.xp.asarray(F.encode(np.array(tw, dtype=object))))
-    return out
+        acc = 1
+        for _ in range(half):
+            tw.append(acc)
+            acc = acc * w_m % P
+    return F.xp.asarray(F.encode(np.array(tw, dtype=object)))
+
+
+@functools.cache
+def _rev_dev(log_n: int, backend: str):
+    F = fr_field(backend)
+    return F.xp.asarray(_bit_reverse_indices(1 << log_n))
 
 
 @functools.cache
 def _ntt_fn(log_n: int, inverse: bool, backend: str):
     F = fr_field(backend)
     n = 1 << log_n
-    rev = _bit_reverse_indices(n)
-    rev_dev = F.xp.asarray(rev)
-    twiddles = _stage_twiddles(log_n, inverse, backend)
     n_inv_mont = F.const_mont(pow(n, -1, P)) if inverse else None
 
-    def run(x):
-        """x: (n, 16) Montgomery limbs -> transformed (n, 16)."""
-        a = x[rev_dev]
+    def run(x, rev, tw_cat):
+        """x: (n, 16) Montgomery limbs -> transformed (n, 16).
+        rev: (n,) bit-reversal gather; tw_cat: (n-1, 16) packed
+        twiddles (see _stage_twiddles)."""
+        a = x[rev]
         for s in range(log_n):
             half = 1 << s
+            tw_s = tw_cat[half - 1 : 2 * half - 1]
             a = a.reshape(n // (2 * half), 2, half, F.n)
             u = a[:, 0]
-            v = F.mont_mul(a[:, 1], twiddles[s][None])
+            v = F.mont_mul(a[:, 1], tw_s[None])
             a = F.xp.stack([F.add(u, v), F.sub(u, v)], axis=1)
         a = a.reshape(n, F.n)
         if inverse:
@@ -137,8 +148,10 @@ def _ntt_fn(log_n: int, inverse: bool, backend: str):
 
 def ntt_mont(x, inverse: bool = False, backend: str = "jax"):
     """(n, 16) Montgomery limbs -> NTT'd limbs, bit-exact vs ntt_host."""
-    n = x.shape[0]
-    return _ntt_fn(n.bit_length() - 1, inverse, backend)(x)
+    log_n = x.shape[0].bit_length() - 1
+    return _ntt_fn(log_n, inverse, backend)(
+        x, _rev_dev(log_n, backend), _stage_twiddles(log_n, inverse, backend)
+    )
 
 
 @functools.cache
@@ -146,22 +159,22 @@ def _ntt_batched_fn(log_n: int, inverse: bool, backend: str, scale: bool):
     """Batched stage loop over a (B, n, 16) tensor — the local-transform
     building block of the Bailey four-step multi-chip NTT
     (parallel.ntt_four_step).  `scale` applies the 1/n factor (the
-    four-step inverse applies a single 1/N at the end instead)."""
+    four-step inverse applies a single 1/N at the end instead).
+    Tables arrive as runtime args (see _stage_twiddles)."""
     F = fr_field(backend)
     n = 1 << log_n
-    rev_dev = F.xp.asarray(_bit_reverse_indices(n))
-    twiddles = _stage_twiddles(log_n, inverse, backend)
     n_inv_mont = F.const_mont(pow(n, -1, P)) if (inverse and scale) else None
 
-    def run(x):
+    def run(x, rev, tw_cat):
         """x: (B, n, 16) Montgomery limbs, transformed along axis 1."""
         B = x.shape[0]
-        a = x[:, rev_dev]
+        a = x[:, rev]
         for s in range(log_n):
             half = 1 << s
+            tw_s = tw_cat[half - 1 : 2 * half - 1]
             a = a.reshape(B, n // (2 * half), 2, half, F.n)
             u = a[:, :, 0]
-            v = F.mont_mul(a[:, :, 1], twiddles[s][None, None])
+            v = F.mont_mul(a[:, :, 1], tw_s[None, None])
             a = F.xp.stack([F.add(u, v), F.sub(u, v)], axis=2)
         a = a.reshape(B, n, F.n)
         if n_inv_mont is not None:
@@ -174,9 +187,10 @@ def _ntt_batched_fn(log_n: int, inverse: bool, backend: str, scale: bool):
 def ntt_mont_batched(x, inverse: bool = False, backend: str = "jax",
                      scale: bool = True):
     """(B, n, 16) Montgomery limbs -> per-row NTT along axis 1."""
-    return _ntt_batched_fn(
-        x.shape[1].bit_length() - 1, inverse, backend, scale
-    )(x)
+    log_n = x.shape[1].bit_length() - 1
+    return _ntt_batched_fn(log_n, inverse, backend, scale)(
+        x, _rev_dev(log_n, backend), _stage_twiddles(log_n, inverse, backend)
+    )
 
 
 def ntt(values, inverse: bool = False, backend: str = "jax") -> np.ndarray:

@@ -487,8 +487,17 @@ def add_select_g2_lm(acc, pts, mask, s_tile: int = 8,
     return jnp.stack(outs).reshape(6, N_LIMB, L)
 
 
-@functools.cache
+# Set True to force the jnp fallback formulas even when the default
+# backend is a TPU — required when building programs for a CPU device
+# mesh in a process where the TPU plugin is registered (the multi-chip
+# dryrun): Mosaic kernels can't lower for CPU devices, and the gate
+# below can't see which devices the enclosing jit targets.
+FORCE_JNP_FALLBACK = False
+
+
 def _on_tpu() -> bool:
+    if FORCE_JNP_FALLBACK:
+        return False
     import jax
 
     return jax.default_backend() == "tpu"

@@ -35,11 +35,24 @@ from ..ops import weierstrass as wst
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data"):
+    """n-device 1-D mesh.  If the default platform has fewer devices
+    than requested (e.g. the axon tunnel exposes ONE real TPU but the
+    caller wants an 8-way virtual mesh), fall back to the CPU backend,
+    whose device count is set by --xla_force_host_platform_device_count.
+    Never silently builds a smaller mesh: sharded-code validation on a
+    1-device mesh would vacuously pass while proving nothing."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise ValueError(
+            f"need {n} devices, have {len(devs)} "
+            "(set --xla_force_host_platform_device_count)"
+        )
     return Mesh(np.array(devs[:n]), axis_names=(axis,))
 
 
@@ -210,11 +223,13 @@ def ntt_sharded(mesh, x, inverse: bool = False):
 
     axis = mesh.axis_names[0]
     n = x.shape[0]
-    fn = ntt_mod._ntt_fn(n.bit_length() - 1, inverse, "jax")
+    log_n = n.bit_length() - 1
+    fn = ntt_mod._ntt_fn(log_n, inverse, "jax")
     sharding = NamedSharding(mesh, P(axis, None))
     x = jax.device_put(x, sharding)
     jitted = jax.jit(fn, out_shardings=sharding)
-    return jitted(x)
+    return jitted(x, ntt_mod._rev_dev(log_n, "jax"),
+                  ntt_mod._stage_twiddles(log_n, inverse, "jax"))
 
 
 @functools.cache
@@ -283,17 +298,23 @@ def ntt_four_step(mesh, x, inverse: bool = False, backend: str = "jax"):
 
     col_fn = ntt_mod._ntt_batched_fn(log_r, inverse, backend, scale=False)
     row_fn = ntt_mod._ntt_batched_fn(log_c, inverse, backend, scale=False)
+    # local-factor tables are O(sqrt N) — small enough to close over
+    # (they land as replicated program constants)
+    col_args = (ntt_mod._rev_dev(log_r, backend),
+                ntt_mod._stage_twiddles(log_r, inverse, backend))
+    row_args = (ntt_mod._rev_dev(log_c, backend),
+                ntt_mod._stage_twiddles(log_c, inverse, backend))
 
     def local(xb, twb):
         # xb: (R/D, C, 16) rows of the (R, C) matrix
         a = jax.lax.all_to_all(xb, axis, split_axis=1, concat_axis=0,
                                tiled=True)  # (R, C/D, 16)
-        a = col_fn(a.transpose(1, 0, 2))  # (C/D, R, 16): NTT over j1
+        a = col_fn(a.transpose(1, 0, 2), *col_args)  # (C/D, R, 16): NTT over j1
         a = a.transpose(1, 0, 2)  # (R, C/D, 16) = A[k1, j2_local]
         a = F.mont_mul(a, twb)  # twb: (R, C/D, 16)
         a = jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1,
                                tiled=True)  # (R/D, C, 16)
-        a = row_fn(a)  # NTT over j2 -> Y[k1_local, k2]
+        a = row_fn(a, *row_args)  # NTT over j2 -> Y[k1_local, k2]
         if n_inv is not None:
             a = F.mont_mul(a, n_inv[None, None])
         # natural order: X.reshape(C, R)[k2, k1] = Y[k1, k2]

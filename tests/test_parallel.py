@@ -92,16 +92,20 @@ def _ntt4_with_hlo(mesh, F, n):
     tw_mont, _ = par._four_step_consts(log_n, False, "jax")
     col_fn = ntt_mod._ntt_batched_fn(log_r, False, "jax", scale=False)
     row_fn = ntt_mod._ntt_batched_fn(log_c, False, "jax", scale=False)
+    col_args = (ntt_mod._rev_dev(log_r, "jax"),
+                ntt_mod._stage_twiddles(log_r, False, "jax"))
+    row_args = (ntt_mod._rev_dev(log_c, "jax"),
+                ntt_mod._stage_twiddles(log_c, False, "jax"))
     axis = mesh.axis_names[0]
 
     def local(xb, twb):
         import jax.numpy as jnp
 
         a = jax.lax.all_to_all(xb, axis, 1, 0, tiled=True)
-        a = col_fn(a.transpose(1, 0, 2)).transpose(1, 0, 2)
+        a = col_fn(a.transpose(1, 0, 2), *col_args).transpose(1, 0, 2)
         a = F.mont_mul(a, twb)
         a = jax.lax.all_to_all(a, axis, 0, 1, tiled=True)
-        a = row_fn(a)
+        a = row_fn(a, *row_args)
         a = jax.lax.all_to_all(a, axis, 1, 0, tiled=True)
         return a.transpose(1, 0, 2)
 
