@@ -329,16 +329,9 @@ def generate_parameters(
 # ------------------------------------------------------------ persistence
 
 
-def save_parameters(params: Parameters, path: str) -> None:
-    """Serialize Parameters to one .npz: device query tensors as numpy
-    arrays + a pickled header for the host singleton points and the VK.
-    (Mirrors the reference's on-disk ceremony params consumed at
-    src/config/blockchain.rs:31-38 — mainnet provers load keys, they
-    don't regenerate them.)"""
-    import pickle
-
+def _pk_head(params: Parameters) -> dict:
     pk = params.pk
-    head = {
+    return {
         "alpha_g1": pk.alpha_g1,
         "beta_g1": pk.beta_g1,
         "beta_g2": pk.beta_g2,
@@ -347,29 +340,75 @@ def save_parameters(params: Parameters, path: str) -> None:
         "num_inputs": pk.num_inputs,
         "vk": params.vk,
     }
-    arrs = {"head": np.frombuffer(pickle.dumps(head), np.uint8)}
-    for name in ("a_query", "b_g1_query", "l_query", "h_query"):
+
+
+_QUERY_NAMES = ("a_query", "b_g1_query", "l_query", "h_query", "b_g2_query")
+
+
+def save_parameters(params: Parameters, path: str) -> None:
+    """Serialize Parameters: query tensors + a pickled header for the
+    host singleton points and the VK.  (Mirrors the reference's on-disk
+    ceremony params consumed at src/config/blockchain.rs:31-38 —
+    mainnet provers load keys, they don't regenerate them.)
+
+    Two layouts by `path`:
+      * `*.npz` — one zip archive; fine up to a few GB.
+      * anything else — a DIRECTORY of raw .npy files.  The mainnet
+        batch=256 key is ~19 GB; zip CRC32 + single-stream write makes
+        npz minutes-slow there, and raw .npy writes at disk bandwidth
+        and loads back via memory-mapping (zero-copy until the prover
+        uploads each query)."""
+    import pickle
+
+    pk = params.pk
+    head = _pk_head(params)
+    if path.endswith(".npz"):
+        arrs = {"head": np.frombuffer(pickle.dumps(head), np.uint8)}
+        for name in _QUERY_NAMES:
+            am, inf = getattr(pk, name)
+            arrs[name + "_am"] = np.asarray(am)
+            arrs[name + "_inf"] = np.asarray(inf)
+        np.savez(path, **arrs)
+        return
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "head.pkl"), "wb") as f:
+        pickle.dump(head, f)
+    for name in _QUERY_NAMES:
         am, inf = getattr(pk, name)
-        arrs[name + "_am"] = np.asarray(am)
-        arrs[name + "_inf"] = np.asarray(inf)
-    arrs["b_g2_am"] = np.asarray(pk.b_g2_query[0])
-    arrs["b_g2_inf"] = np.asarray(pk.b_g2_query[1])
-    np.savez(path, **arrs)
+        np.save(os.path.join(path, name + "_am.npy"), np.asarray(am))
+        np.save(os.path.join(path, name + "_inf.npy"), np.asarray(inf))
 
 
 def load_parameters(path: str, backend: str = "jax",
                     device_queries: Optional[bool] = None) -> Parameters:
-    """Inverse of save_parameters.  device_queries=None auto-selects
-    like generate_parameters: query tensors go back on device when they
-    fit (padded length <= 2^22), else stay host-side numpy and the
-    prover uploads per MSM."""
+    """Inverse of save_parameters (both layouts).  device_queries=None
+    auto-selects like generate_parameters: query tensors go back on
+    device when they fit (padded length <= 2^21), else stay host-side
+    (directory layout: memory-mapped) and the prover uploads per MSM."""
+    import os
     import pickle
 
     from ..fields.limbs import fp_field
 
     xp = fp_field(backend).xp
-    z = np.load(path)
-    head = pickle.loads(z["head"].tobytes())
+    if path.endswith(".npz"):
+        z = np.load(path)
+        head = pickle.loads(z["head"].tobytes())
+        if "b_g2_query_am" not in z.files:  # pre-round-4 key names
+            z = {k: z[k] for k in z.files}
+            z["b_g2_query_am"] = z.pop("b_g2_am")
+            z["b_g2_query_inf"] = z.pop("b_g2_inf")
+    else:
+        with open(os.path.join(path, "head.pkl"), "rb") as f:
+            head = pickle.load(f)
+        z = {
+            name + suf: np.load(os.path.join(path, name + suf + ".npy"),
+                                mmap_mode="r")
+            for name in _QUERY_NAMES
+            for suf in ("_am", "_inf")
+        }
     if device_queries is None:
         device_queries = z["a_query_inf"].shape[0] <= (1 << 21)
     up = xp.asarray if device_queries else np.asarray
@@ -377,7 +416,7 @@ def load_parameters(path: str, backend: str = "jax",
         name: (up(z[name + "_am"]), up(z[name + "_inf"]))
         for name in ("a_query", "b_g1_query", "l_query", "h_query")
     }
-    b_g2 = (up(z["b_g2_am"]), up(z["b_g2_inf"]))
+    b_g2 = (up(z["b_g2_query_am"]), up(z["b_g2_query_inf"]))
     pk = ProvingKey(
         alpha_g1=head["alpha_g1"],
         beta_g1=head["beta_g1"],
