@@ -204,9 +204,11 @@ def generate_parameters(
     Query arrays are assembled HOST-side (the fixed-base multiplies
     stream GEN_CHUNK batches through the device and offload affine
     rows), then uploaded to the device iff they fit comfortably —
-    device_queries=None auto-selects by padded length (<= 2^22 keeps
-    ~5 GB of queries resident; the batch=256 mainnet circuit's 2^24
-    queries stay host-side and the prover uploads per MSM)."""
+    device_queries=None auto-selects by padded length: <= 2^21 all
+    five resident; <= 2^22 the four G1 queries resident and the G2
+    query streamed per proof ("g1"); above that (the batch=256 mainnet
+    circuit's 2^24) all host-side, prover uploads per MSM with async
+    prefetch."""
     comp = cs.compiled()
     dev = DeviceR1CS(comp, backend)
     num_vars, n_inputs = comp.num_vars, comp.num_inputs
@@ -292,14 +294,19 @@ def generate_parameters(
 
     if device_queries is None:
         # 2^22 x 5 queries (~4.8 GB) plus the G2 drain's scratch OOM'd the
-        # 16 GB chip at batch=64 (round 4) - cap residency at 2^21
-        device_queries = Np <= (1 << 21)
+        # 16 GB chip at batch=64 (round 4): all-resident only to 2^21;
+        # at 2^22 keep the four G1 queries resident (~3.2 GB) and stream
+        # the 1.6 GB G2 query per proof ("g1" mode)
+        device_queries = (
+            True if Np <= (1 << 21) else "g1" if Np <= (1 << 22) else False
+        )
     if device_queries:
         a_query = tuple(xp.asarray(a) for a in a_query)
         b_g1_query = tuple(xp.asarray(a) for a in b_g1_query)
         l_query = tuple(xp.asarray(a) for a in l_query)
         h_query = tuple(xp.asarray(a) for a in h_query)
-        b_g2_query = tuple(xp.asarray(a) for a in b_g2_query)
+        if device_queries != "g1":
+            b_g2_query = tuple(xp.asarray(a) for a in b_g2_query)
 
     pk = ProvingKey(
         alpha_g1=alpha_g1,
@@ -410,13 +417,17 @@ def load_parameters(path: str, backend: str = "jax",
             for suf in ("_am", "_inf")
         }
     if device_queries is None:
-        device_queries = z["a_query_inf"].shape[0] <= (1 << 21)
+        Np = z["a_query_inf"].shape[0]
+        device_queries = (
+            True if Np <= (1 << 21) else "g1" if Np <= (1 << 22) else False
+        )
     up = xp.asarray if device_queries else np.asarray
+    up_g2 = xp.asarray if device_queries is True else np.asarray
     qs = {
         name: (up(z[name + "_am"]), up(z[name + "_inf"]))
         for name in ("a_query", "b_g1_query", "l_query", "h_query")
     }
-    b_g2 = (up(z["b_g2_query_am"]), up(z["b_g2_query_inf"]))
+    b_g2 = (up_g2(z["b_g2_query_am"]), up_g2(z["b_g2_query_inf"]))
     pk = ProvingKey(
         alpha_g1=head["alpha_g1"],
         beta_g1=head["beta_g1"],

@@ -146,40 +146,52 @@ def create_proof(
     #
     # Mainnet-scale keys (Np = 2^24 at batch=256) keep their query
     # tensors HOST-side (~19 GB would not fit HBM all at once); each
-    # MSM uploads its query and releases it before the next.
-    def _up(query):
-        if isinstance(query[0], np.ndarray):
-            return tuple(F.xp.asarray(a) for a in query)
-        return query
-
+    # MSM uploads its query and releases it before the next.  Uploads
+    # ride the tunnel at far below HBM bandwidth, so the NEXT query's
+    # transfer is issued asynchronously (jax.device_put) BEFORE the
+    # current MSM runs — the copy overlaps the drain.  The G2 MSM goes
+    # last: its query is 2x a G1 query, so it never coexists with more
+    # than one pending G1 upload.
     c_full = _msm_c(Np)
     plan_z = pmsm.make_dedup_plan(z_np)
     plan_aux = plan_z.derive_shifted(n_inputs)
-    _tick("dedup plans (host np.unique)")
-    q = _up(pk.a_query)
-    sum_az = pmsm.msm_lm(*q, z_p, c=c_full, dedup_plan=plan_z)
-    _tick("MSM a")
-    q = _up(pk.b_g1_query)
-    sum_bz_g1 = pmsm.msm_lm(*q, z_p, c=c_full, dedup_plan=plan_z)
-    _tick("MSM b_g1")
-    q = _up(pk.b_g2_query)
-    sum_bz_g2 = _g2_msm(q, z_p, backend, plan=plan_z, c=c_full)
-    _tick("MSM b_g2")
-    q = _up(pk.h_query)
-    sum_h = (
-        pmsm.msm_lm(*q, _pad_rows(F, h_std, Np), c=c_full)
-        if d > 1
-        else None
-    )
-    _tick("MSM h")
-    q = _up(pk.l_query)
-    sum_l = (
-        pmsm.msm_lm(*q, aux_p, c=c_full, dedup_plan=plan_aux)
-        if num_vars > n_inputs
-        else None
-    )
-    del q
-    _tick("MSM l")
+    _tick("dedup plans")
+
+    def run_g1(query, scalars, plan):
+        return pmsm.msm_lm(*query, scalars, c=c_full, dedup_plan=plan)
+
+    def run_g2(query, scalars, plan):
+        return _g2_msm(query, backend=backend, scalars_std=scalars,
+                       plan=plan, c=c_full)
+
+    jobs = [
+        ("a", pk.a_query, run_g1, z_p, plan_z),
+        ("b_g1", pk.b_g1_query, run_g1, z_p, plan_z),
+    ]
+    if d > 1:
+        jobs.append(("h", pk.h_query, run_g1, _pad_rows(F, h_std, Np), None))
+    if num_vars > n_inputs:
+        jobs.append(("l", pk.l_query, run_g1, aux_p, plan_aux))
+    jobs.append(("b_g2", pk.b_g2_query, run_g2, z_p, plan_z))
+
+    def _put(query):
+        if isinstance(query[0], np.ndarray):
+            import jax
+
+            return tuple(jax.device_put(np.asarray(a)) for a in query)
+        return query
+
+    sums = {"h": None, "l": None}
+    pending = _put(jobs[0][1])
+    for i, (name, _, run, scalars, plan) in enumerate(jobs):
+        q, pending = pending, None
+        if i + 1 < len(jobs):
+            pending = _put(jobs[i + 1][1])  # async; overlaps the MSM below
+        sums[name] = run(q, scalars, plan)
+        del q
+        _tick(f"MSM {name}")
+    sum_az, sum_bz_g1 = sums["a"], sums["b_g1"]
+    sum_h, sum_l, sum_bz_g2 = sums["h"], sums["l"], sums["b_g2"]
 
     g1a = bls.g1_add
     A_pt = g1a(g1a(pk.alpha_g1, sum_az), bls.g1_mul(pk.delta_g1, r))
