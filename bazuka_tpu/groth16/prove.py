@@ -43,18 +43,34 @@ def _msm_c(n: int) -> int:
     return 4
 
 
-def compute_h_mont(ea, eb, ec, d: int, backend: str = "jax"):
-    """(d, 16) Montgomery row-evals -> h(x) coefficients (length d-1) as
-    STANDARD-form limbs, on device (ready for the MSM digit extraction)."""
+def compute_h_mont(evs: list, d: int, backend: str = "jax"):
+    """[ea, eb, ec] (d, 16) Montgomery row-evals -> h(x) coefficients
+    (length d-1) as STANDARD-form limbs, on device (ready for the MSM
+    digit extraction).
+
+    Takes the polys as a LIST and pops each before transforming so its
+    HBM is reclaimed as soon as its coset evaluation exists — at
+    d = 2^24 each (d, 16) tensor is 1 GiB and keeping all of
+    ea/eb/ec/ca/cb/cc live OOM'd the 16 GB chip (round 4)."""
     F = fr_field(backend)
-    # interpolate then re-evaluate on the coset gH
-    ca = ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(ea, True, backend), backend)
-    cb = ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(eb, True, backend), backend)
-    cc = ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(ec, True, backend), backend)
+
+    # interpolate then re-evaluate on the coset gH, one poly at a time
+    def coset(x):
+        return ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(x, True, backend),
+                                      backend)
+
+    assert len(evs) == 3
+    ca = coset(evs.pop(0))
+    cb = coset(evs.pop(0))
+    ab = F.mont_mul(ca, cb)
+    del ca, cb
+    cc = coset(evs.pop(0))
     z_on_coset = (pow(FR_GENERATOR, d, P) - 1) % P
     zinv = F.const_mont(pow(z_on_coset, -1, P))
-    h_evals = F.mont_mul(F.sub(F.mont_mul(ca, cb), cc), zinv[None])
+    h_evals = F.mont_mul(F.sub(ab, cc), zinv[None])
+    del ab, cc
     h_coeffs = ntt_mod.coset_intt_mont(h_evals, backend)
+    del h_evals
     # degree ≤ d-2: drop the top coefficient, return standard form for MSM
     return F.from_mont(h_coeffs[: d - 1])
 
@@ -122,10 +138,13 @@ def create_proof(
 
     d = qap.domain_size(dev.c.n_constraints, n_inputs)
     ea, eb, ec = dev.eval_rows(z_mont)  # (n_rows, 16) mont
-    h_std = compute_h_mont(
-        _pad_rows(F, ea, d), _pad_rows(F, eb, d), _pad_rows(F, ec, d),
-        d, backend,
-    )
+    del z_mont  # only eval_rows consumes the Montgomery witness
+    evs = [ea, eb, ec]
+    del ea, eb, ec
+    for i in range(3):  # pad in place so each unpadded poly frees now
+        evs[i] = _pad_rows(F, evs[i], d)
+    h_std = compute_h_mont(evs, d, backend)
+    del evs
     if _timing:
         import jax
 
@@ -174,19 +193,29 @@ def create_proof(
         jobs.append(("l", pk.l_query, run_g1, aux_p, plan_aux))
     jobs.append(("b_g2", pk.b_g2_query, run_g2, z_p, plan_z))
 
-    def _put(query):
+    # Prefetch cap: a pending G2 query at Np = 2^24 is 6.4 GB; letting
+    # it coexist with the current G1 query + drain scratch overflows the
+    # 16 GB chip, so only queries up to ~3.5 GB (any G1, or G2 up to
+    # 2^23) are uploaded ahead of time.
+    PREFETCH_MAX_BYTES = 3.5 * (1 << 30)
+
+    def _put(query, ahead: bool):
         if isinstance(query[0], np.ndarray):
+            if ahead and query[0].nbytes > PREFETCH_MAX_BYTES:
+                return None  # uploaded synchronously when its turn comes
             import jax
 
             return tuple(jax.device_put(np.asarray(a)) for a in query)
         return query
 
     sums = {"h": None, "l": None}
-    pending = _put(jobs[0][1])
+    pending = _put(jobs[0][1], ahead=False)
     for i, (name, _, run, scalars, plan) in enumerate(jobs):
         q, pending = pending, None
+        if q is None:  # prefetch was skipped (size cap)
+            q = _put(jobs[i][1], ahead=False)
         if i + 1 < len(jobs):
-            pending = _put(jobs[i + 1][1])  # async; overlaps the MSM below
+            pending = _put(jobs[i + 1][1], ahead=True)  # overlaps the MSM
         sums[name] = run(q, scalars, plan)
         del q
         _tick(f"MSM {name}")

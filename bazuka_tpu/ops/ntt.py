@@ -86,28 +86,83 @@ def dft_host(values) -> list:
 # ---------------------------------------------------------------- TPU kernel
 
 
+# Above this size, twiddle/coset tables are rebuilt on device per call
+# instead of cached: at 2^24 the four tables (fwd/inv twiddles, fwd/inv
+# coset scale) would pin 4 GB of HBM for the whole process lifetime —
+# a third of the chip — while a rebuild is ~log_n bulk Montgomery
+# multiplies (HBM-bound, well under a second each).
+_TABLE_CACHE_MAX_LOG_N = 21
+
+
 @functools.cache
-def _stage_twiddles(log_n: int, inverse: bool, backend: str):
-    """All stages' Montgomery twiddles PACKED in one (n-1, 16) array:
-    stage s (half=2^s, w_m = w^(n/2^(s+1))) owns rows
-    [2^s - 1, 2^(s+1) - 1).  One array so it can be passed to the
-    jitted stage loop as a RUNTIME ARGUMENT — embedding it as a program
-    constant put 268 MB of twiddles in the 2^22 module, which broke the
-    compile-RPC payload limit and bloats the persistent cache."""
+def _pow_builder(log_n: int, backend: str):
+    """Jitted builder: (m,) int64 exponents + (log_n, 16) Montgomery
+    powers w^(2^k) -> (m, 16) Montgomery w^e, via the bit decomposition
+    e = Σ bit_k(e)·2^k (log_n full-width masked multiplies — no host
+    per-element loop, no giant upload)."""
     F = fr_field(backend)
+    one = F.const_mont(1)
+
+    def run(e, wp):
+        acc = F.xp.broadcast_to(one[None], (e.shape[0], F.n))
+        for k in range(log_n):
+            bit = ((e >> k) & 1).astype(F.xp.uint32)
+            factor = F.xp.where(bit[:, None] != 0, wp[k][None], one[None])
+            acc = F.mont_mul(acc, factor)
+        return acc
+
+    if backend == "jax":
+        import jax
+
+        run = jax.jit(run)
+    return run
+
+
+def _w_pow_table(w: int, log_n: int, backend: str):
+    """(log_n, 16) Montgomery limbs of w^(2^k), k in 0..log_n-1."""
+    F = fr_field(backend)
+    ws, acc = [], w % P
+    for _ in range(log_n):
+        ws.append(acc)
+        acc = acc * acc % P
+    return F.xp.asarray(F.encode(np.array(ws, dtype=object)))
+
+
+def _stage_twiddle_exponents(log_n: int) -> np.ndarray:
+    """(n-1,) exponents e(r) such that packed twiddle row r = w^e(r):
+    stage s (half=2^s, w_m = w^(n >> (s+1))) owns rows
+    [2^s - 1, 2^(s+1) - 1) holding w_m^0..w_m^(half-1)."""
     n = 1 << log_n
+    r = np.arange(1, n, dtype=np.int64)  # r = packed row + 1 in [1, n)
+    s = np.floor(np.log2(r)).astype(np.int64)  # stage of row r-1
+    j = r - (np.int64(1) << s)
+    return j * (n >> (s + 1))
+
+
+def _build_stage_twiddles(log_n: int, inverse: bool, backend: str):
+    F = fr_field(backend)
     w = root_of_unity(log_n)
     if inverse:
         w = pow(w, -1, P)
-    tw = []
-    for s in range(log_n):
-        half = 1 << s
-        w_m = pow(w, n // (2 * half), P)
-        acc = 1
-        for _ in range(half):
-            tw.append(acc)
-            acc = acc * w_m % P
-    return F.xp.asarray(F.encode(np.array(tw, dtype=object)))
+    e = F.xp.asarray(_stage_twiddle_exponents(log_n))
+    return _pow_builder(log_n, backend)(e, _w_pow_table(w, log_n, backend))
+
+
+@functools.cache
+def _stage_twiddles_cached(log_n: int, inverse: bool, backend: str):
+    return _build_stage_twiddles(log_n, inverse, backend)
+
+
+def _stage_twiddles(log_n: int, inverse: bool, backend: str):
+    """All stages' Montgomery twiddles PACKED in one (n-1, 16) array,
+    passed to the jitted stage loop as a RUNTIME ARGUMENT — embedding
+    them as program constants put 268 MB in the 2^22 module, which
+    broke the compile-RPC payload limit and bloats the persistent
+    cache.  Cached on device for small sizes, rebuilt per call above
+    _TABLE_CACHE_MAX_LOG_N (see there)."""
+    if log_n <= _TABLE_CACHE_MAX_LOG_N:
+        return _stage_twiddles_cached(log_n, inverse, backend)
+    return _build_stage_twiddles(log_n, inverse, backend)
 
 
 @functools.cache
@@ -204,19 +259,27 @@ def ntt(values, inverse: bool = False, backend: str = "jax") -> np.ndarray:
 # -------------------------------------------------- coset transforms
 
 
-@functools.cache
-def _coset_scale(log_n: int, inverse: bool, backend: str):
-    """Montgomery powers g^i (or g^-i) of the Fr multiplicative generator,
-    for evaluating on / interpolating from the coset gH (bellman's
-    coset_fft semantics for the h(x) computation)."""
+def _build_coset_scale(log_n: int, inverse: bool, backend: str):
     F = fr_field(backend)
     n = 1 << log_n
     g = FR_GENERATOR if not inverse else pow(FR_GENERATOR, -1, P)
-    pows, acc = [], 1
-    for _ in range(n):
-        pows.append(acc)
-        acc = acc * g % P
-    return F.xp.asarray(F.encode(np.array(pows, dtype=object)))
+    e = F.xp.asarray(np.arange(n, dtype=np.int64))
+    return _pow_builder(log_n, backend)(e, _w_pow_table(g, log_n, backend))
+
+
+@functools.cache
+def _coset_scale_cached(log_n: int, inverse: bool, backend: str):
+    return _build_coset_scale(log_n, inverse, backend)
+
+
+def _coset_scale(log_n: int, inverse: bool, backend: str):
+    """Montgomery powers g^i (or g^-i) of the Fr multiplicative generator,
+    for evaluating on / interpolating from the coset gH (bellman's
+    coset_fft semantics for the h(x) computation).  Device-built (see
+    _pow_builder); cached only at small sizes (_TABLE_CACHE_MAX_LOG_N)."""
+    if log_n <= _TABLE_CACHE_MAX_LOG_N:
+        return _coset_scale_cached(log_n, inverse, backend)
+    return _build_coset_scale(log_n, inverse, backend)
 
 
 def coset_ntt_mont(x, backend: str = "jax"):
