@@ -60,3 +60,40 @@ def test_coset_roundtrip_and_vanishing():
     eb = nttm.coset_ntt_mont(F.xp.asarray(F.encode(np.array(b, dtype=object))), backend)
     prod = F.decode(np.asarray(nttm.coset_intt_mont(F.mont_mul(ea, eb), backend)))
     assert list(prod[:4]) == [2, 3, 1, 0]
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_device_built_tables_match_host(inverse):
+    """The twiddle/coset tables are built ON DEVICE via bit-decomposition
+    exponentiation (_pow_builder) so d=2^24 never materializes 16M-entry
+    host lists or pins 4 GB of cached tables (round-4 OOM fix).  Check
+    bit-exactness against the straight host computation."""
+    backend = "np"
+    F = fr_field(backend)
+    log_n = 9
+    n = 1 << log_n
+    w = nttm.root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, P)
+    expect = []
+    for s in range(log_n):
+        half = 1 << s
+        w_m = pow(w, n // (2 * half), P)
+        acc = 1
+        for _ in range(half):
+            expect.append(acc)
+            acc = acc * w_m % P
+    got = F.decode(np.asarray(nttm._stage_twiddles(log_n, inverse, backend)))
+    assert [int(x) for x in got] == expect
+
+    g = FR_GENERATOR if not inverse else pow(FR_GENERATOR, -1, P)
+    got_cs = F.decode(np.asarray(nttm._coset_scale(log_n, inverse, backend)))
+    assert [int(x) for x in got_cs] == [pow(g, i, P) for i in range(n)]
+
+
+def test_table_cache_policy():
+    """Small tables are cached (per-process); above _TABLE_CACHE_MAX_LOG_N
+    they are rebuilt per call so HBM is not pinned at 2^22+."""
+    a = nttm._stage_twiddles(8, False, "np")
+    b = nttm._stage_twiddles(8, False, "np")
+    assert a is b
