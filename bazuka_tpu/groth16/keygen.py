@@ -293,20 +293,31 @@ def generate_parameters(
     b_g2_query = (b_g2_am, b_g2_inf)
 
     if device_queries is None:
-        # 2^22 x 5 queries (~4.8 GB) plus the G2 drain's scratch OOM'd the
-        # 16 GB chip at batch=64 (round 4): all-resident only to 2^21;
-        # at 2^22 keep the four G1 queries resident (~3.2 GB) and stream
-        # the 1.6 GB G2 query per proof ("g1" mode)
+        # Residency budget (16 GB chip): resident queries are stored
+        # NARROW (uint16 limb payloads / uint8 flags — half the uint32
+        # kernel layout; prove.py widens per MSM).  All five narrow
+        # queries at 2^22 are ~2.4 GB; at 2^23 the four G1 queries are
+        # ~3.2 GB with the 1.6 GB G2 streamed ("g1" mode); above that
+        # (the batch=256 mainnet circuit's 2^24) all host-side, prover
+        # uploads narrow per MSM with async prefetch.
         device_queries = (
-            True if Np <= (1 << 21) else "g1" if Np <= (1 << 22) else False
+            True if Np <= (1 << 22) else "g1" if Np <= (1 << 23) else False
         )
+
+    def _narrow_resident(q):
+        am, inf = q
+        return (
+            xp.asarray(np.asarray(am, dtype=np.uint16)),
+            xp.asarray(np.asarray(inf, dtype=np.uint8)),
+        )
+
     if device_queries:
-        a_query = tuple(xp.asarray(a) for a in a_query)
-        b_g1_query = tuple(xp.asarray(a) for a in b_g1_query)
-        l_query = tuple(xp.asarray(a) for a in l_query)
-        h_query = tuple(xp.asarray(a) for a in h_query)
+        a_query = _narrow_resident(a_query)
+        b_g1_query = _narrow_resident(b_g1_query)
+        l_query = _narrow_resident(l_query)
+        h_query = _narrow_resident(h_query)
         if device_queries != "g1":
-            b_g2_query = tuple(xp.asarray(a) for a in b_g2_query)
+            b_g2_query = _narrow_resident(b_g2_query)
 
     pk = ProvingKey(
         alpha_g1=alpha_g1,
@@ -384,8 +395,13 @@ def save_parameters(params: Parameters, path: str) -> None:
         pickle.dump(head, f)
     for name in _QUERY_NAMES:
         am, inf = getattr(pk, name)
-        np.save(os.path.join(path, name + "_am.npy"), np.asarray(am))
-        np.save(os.path.join(path, name + "_inf.npy"), np.asarray(inf))
+        # NARROW on disk: limb payloads are 16-bit (W=16 Montgomery) and
+        # flags are 0/1, so uint16/uint8 halves the ~19 GB mainnet key
+        # AND the per-proof disk reads; the prover widens on device.
+        np.save(os.path.join(path, name + "_am.npy"),
+                np.asarray(am, dtype=np.uint16))
+        np.save(os.path.join(path, name + "_inf.npy"),
+                np.asarray(inf, dtype=np.uint8))
 
 
 def load_parameters(path: str, backend: str = "jax",
@@ -419,10 +435,15 @@ def load_parameters(path: str, backend: str = "jax",
     if device_queries is None:
         Np = z["a_query_inf"].shape[0]
         device_queries = (
-            True if Np <= (1 << 21) else "g1" if Np <= (1 << 22) else False
+            True if Np <= (1 << 22) else "g1" if Np <= (1 << 23) else False
         )
-    up = xp.asarray if device_queries else np.asarray
-    up_g2 = xp.asarray if device_queries is True else np.asarray
+
+    def up_dev(a):  # device-RESIDENT: narrow (prove.py widens per MSM)
+        dt = np.uint8 if a.ndim == 1 else np.uint16
+        return xp.asarray(np.asarray(a, dtype=dt))
+
+    up = up_dev if device_queries else np.asarray
+    up_g2 = up_dev if device_queries is True else np.asarray
     qs = {
         name: (up(z[name + "_am"]), up(z[name + "_inf"]))
         for name in ("a_query", "b_g1_query", "l_query", "h_query")

@@ -43,6 +43,48 @@ def _msm_c(n: int) -> int:
     return 4
 
 
+# ---------------------------------------------------------------------------
+# Narrow-wire uploads.  Every limb array is a 16-bit payload stored in
+# uint32 (W = 16 Montgomery limbs), so HALF the bytes shipped to the
+# device are zeros.  The tunnel to the chip runs far below HBM
+# bandwidth and mainnet-scale proofs move ~19 GB of query data per
+# proof, so queries/scalars go over the wire as uint16 (uint8 for
+# infinity flags) and are widened back to uint32 by a trivial
+# HBM-bound cast on device.
+def _widen_u32(x, donate: bool = True):
+    """Device cast back to the kernels' uint32 limb layout.
+
+    donate=True frees the narrow buffer as soon as the cast runs — only
+    safe for per-proof uploads.  Device-RESIDENT narrow queries (keygen
+    keeps them across proofs) must widen with donate=False."""
+    import jax
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.uint32:
+        return x
+    if donate:
+        return jax.jit(lambda a: a.astype(jnp.uint32), donate_argnums=0)(x)
+    return jax.jit(lambda a: a.astype(jnp.uint32))(x)
+
+
+def _narrow_np(a: np.ndarray) -> np.ndarray:
+    """Host-side narrowing: limb payloads fit uint16, flags fit uint8.
+    v2 directory keys are already narrow on disk — their memmaps pass
+    straight to the upload with no host copy."""
+    if a.dtype in (np.uint16, np.uint8):
+        return a
+    if a.ndim == 1:  # infinity flags (0/1)
+        return np.asarray(a, dtype=np.uint8)
+    return np.asarray(a, dtype=np.uint16)
+
+
+def _device_put_narrow(a: np.ndarray):
+    """Async upload at half width; pair with _widen_u32 at consume time."""
+    import jax
+
+    return jax.device_put(_narrow_np(a))
+
+
 def compute_h_mont(evs: list, d: int, backend: str = "jax"):
     """[ea, eb, ec] (d, 16) Montgomery row-evals -> h(x) coefficients
     (length d-1) as STANDARD-form limbs, on device (ready for the MSM
@@ -127,14 +169,21 @@ def create_proof(
     z_ints = cs.full_assignment()
     if len(z_ints) != num_vars:
         raise SynthesisError("assignment/circuit shape mismatch")
+    _tick("witness encode: assignment")
     # pad to the shared MSM query length BEFORE any device op so every
     # per-proof kernel (to_mont, digit extraction) compiles at one shape
     Np = pk.a_query[0].shape[0]
     z_np = np.zeros((Np, 16), np.uint32)
     z_np[:num_vars] = F.encode(np.array(z_ints, dtype=object), mont=False)
-    z_p = F.xp.asarray(z_np)
+    _tick("witness encode: limb encode")
+    z_p = _widen_u32(_device_put_narrow(z_np)) if backend == "jax" \
+        else F.xp.asarray(z_np)
     z_mont = F.to_mont(z_p)  # gathers index < num_vars; pad rows unused
-    _tick("witness encode")
+    if _timing:
+        import jax
+
+        jax.block_until_ready(z_mont)
+    _tick("witness encode: upload + to_mont")
 
     d = qap.domain_size(dev.c.n_constraints, n_inputs)
     ea, eb, ec = dev.eval_rows(z_mont)  # (n_rows, 16) mont
@@ -154,7 +203,8 @@ def create_proof(
     # aux scalars at the same shared length (host relayout, one upload)
     aux_np = np.zeros((Np, 16), np.uint32)
     aux_np[: num_vars - n_inputs] = z_np[n_inputs:num_vars]
-    aux_p = F.xp.asarray(aux_np)
+    aux_p = _widen_u32(_device_put_narrow(aux_np)) if backend == "jax" \
+        else F.xp.asarray(aux_np)
 
     # every G1 query is keygen-padded to the same length Np, so the four
     # MSMs share ONE compiled device program (scalars zero-padded).
@@ -193,30 +243,38 @@ def create_proof(
         jobs.append(("l", pk.l_query, run_g1, aux_p, plan_aux))
     jobs.append(("b_g2", pk.b_g2_query, run_g2, z_p, plan_z))
 
-    # Prefetch cap: a pending G2 query at Np = 2^24 is 6.4 GB; letting
-    # it coexist with the current G1 query + drain scratch overflows the
-    # 16 GB chip, so only queries up to ~3.5 GB (any G1, or G2 up to
-    # 2^23) are uploaded ahead of time.
+    # Prefetch cap: a pending narrow G2 query at Np = 2^24 is 3.2 GB;
+    # letting it coexist with the current widened G1 query + drain
+    # scratch is fine on a 16 GB chip, but cap anyway so toy-HBM parts
+    # and future query growth stay safe.
     PREFETCH_MAX_BYTES = 3.5 * (1 << 30)
 
     def _put(query, ahead: bool):
         if isinstance(query[0], np.ndarray):
-            if ahead and query[0].nbytes > PREFETCH_MAX_BYTES:
+            wire = query[0].nbytes  # uint32 halves on the wire; v2 keys
+            if query[0].dtype == np.uint32:  # are already narrow on disk
+                wire //= 2
+            if ahead and wire > PREFETCH_MAX_BYTES:
                 return None  # uploaded synchronously when its turn comes
-            import jax
-
-            return tuple(jax.device_put(np.asarray(a)) for a in query)
+            return tuple(_device_put_narrow(a) for a in query)
         return query
+
+    def _consume(q, fresh: bool):
+        """Widen a narrow query for the kernels.  Fresh per-proof uploads
+        donate (free) their narrow buffer; device-RESIDENT narrow queries
+        (keygen keeps them across proofs) widen into a transient copy."""
+        return tuple(_widen_u32(a, donate=fresh) for a in q)
 
     sums = {"h": None, "l": None}
     pending = _put(jobs[0][1], ahead=False)
     for i, (name, _, run, scalars, plan) in enumerate(jobs):
+        fresh = isinstance(jobs[i][1][0], np.ndarray)
         q, pending = pending, None
         if q is None:  # prefetch was skipped (size cap)
             q = _put(jobs[i][1], ahead=False)
         if i + 1 < len(jobs):
             pending = _put(jobs[i + 1][1], ahead=True)  # overlaps the MSM
-        sums[name] = run(q, scalars, plan)
+        sums[name] = run(_consume(q, fresh), scalars, plan)
         del q
         _tick(f"MSM {name}")
     sum_az, sum_bz_g1 = sums["a"], sums["b_g1"]
