@@ -150,7 +150,14 @@ def create_proof(
             import jax
 
             now = _time.perf_counter()
-            print(f"  [prove] {name}: {now - _t[0]:.2f}s", flush=True)
+            mem = ""
+            try:
+                st = jax.local_devices()[0].memory_stats() or {}
+                mem = (f"  [hbm {st.get('bytes_in_use', 0) / 2**30:.2f}"
+                       f"/{st.get('peak_bytes_in_use', 0) / 2**30:.2f} GiB]")
+            except Exception:
+                pass
+            print(f"  [prove] {name}: {now - _t[0]:.2f}s{mem}", flush=True)
             _t[0] = now
 
     pk = params.pk
@@ -176,9 +183,16 @@ def create_proof(
     z_np = np.zeros((Np, 16), np.uint32)
     z_np[:num_vars] = F.encode(np.array(z_ints, dtype=object), mont=False)
     _tick("witness encode: limb encode")
-    z_p = _widen_u32(_device_put_narrow(z_np)) if backend == "jax" \
-        else F.xp.asarray(z_np)
-    z_mont = F.to_mont(z_p)  # gathers index < num_vars; pad rows unused
+    # Only the NARROW z (0.54 GB at Np = 2^24) stays on device through
+    # the h phase — the phase peaks HBM (three 1 GiB polys + NTT
+    # transients + per-call tables) and the widened z/aux are not
+    # needed until the MSM loop.
+    if backend == "jax":
+        z_n16 = _device_put_narrow(z_np)
+        z_mont = F.to_mont(_widen_u32(z_n16, donate=False))
+    else:
+        z_n16 = None
+        z_mont = F.to_mont(F.xp.asarray(z_np))
     if _timing:
         import jax
 
@@ -200,11 +214,24 @@ def create_proof(
         jax.block_until_ready(h_std)
     _tick("eval_rows + h(x) NTTs")
 
-    # aux scalars at the same shared length (host relayout, one upload)
-    aux_np = np.zeros((Np, 16), np.uint32)
-    aux_np[: num_vars - n_inputs] = z_np[n_inputs:num_vars]
-    aux_p = _widen_u32(_device_put_narrow(aux_np)) if backend == "jax" \
-        else F.xp.asarray(aux_np)
+    # z/aux MSM scalars, widened now that the h phase's HBM peak is
+    # over.  aux = z shifted down by the public inputs with a zero
+    # tail — a device slice+pad, not a second upload.
+    if backend == "jax":
+        import jax
+        import jax.numpy as jnp
+
+        z_p = _widen_u32(z_n16, donate=True)
+        del z_n16
+        aux_p = jax.jit(
+            lambda z: jnp.pad(z[n_inputs:num_vars],
+                              ((0, Np - (num_vars - n_inputs)), (0, 0)))
+        )(z_p)
+    else:
+        z_p = F.xp.asarray(z_np)
+        aux_np = np.zeros((Np, 16), np.uint32)
+        aux_np[: num_vars - n_inputs] = z_np[n_inputs:num_vars]
+        aux_p = F.xp.asarray(aux_np)
 
     # every G1 query is keygen-padded to the same length Np, so the four
     # MSMs share ONE compiled device program (scalars zero-padded).

@@ -197,12 +197,17 @@ def _ntt_fn(log_n: int, inverse: bool, backend: str):
     if backend == "jax":
         import jax
 
-        run = jax.jit(run)
+        # donate x: every caller consumes its input (h-phase pipeline),
+        # and at d = 2^24 each (d, 16) tensor is 1 GiB of HBM — aliasing
+        # in/out keeps the sequential h computation inside the chip.
+        # (JAX silently copies if the buffer is still referenced.)
+        run = jax.jit(run, donate_argnums=0)
     return run
 
 
 def ntt_mont(x, inverse: bool = False, backend: str = "jax"):
-    """(n, 16) Montgomery limbs -> NTT'd limbs, bit-exact vs ntt_host."""
+    """(n, 16) Montgomery limbs -> NTT'd limbs, bit-exact vs ntt_host.
+    jax backend DONATES x (see _ntt_fn)."""
     log_n = x.shape[0].bit_length() - 1
     return _ntt_fn(log_n, inverse, backend)(
         x, _rev_dev(log_n, backend), _stage_twiddles(log_n, inverse, backend)
