@@ -181,7 +181,14 @@ def create_proof(
     # per-proof kernel (to_mont, digit extraction) compiles at one shape
     Np = pk.a_query[0].shape[0]
     z_np = np.zeros((Np, 16), np.uint32)
-    z_np[:num_vars] = F.encode(np.array(z_ints, dtype=object), mont=False)
+    # HOST-side limb encode (fields.limbs.ints_to_array byte path).
+    # F.encode on the jax backend ends in xp.asarray — a device upload —
+    # and assigning that into z_np would download it right back: a
+    # ~1.7 GB hidden tunnel round-trip at Np = 2^24 (round 4: 164 s of
+    # the witness-encode wall was exactly this).
+    from ..fields.limbs import ints_to_array
+
+    z_np[:num_vars] = ints_to_array([v % P for v in z_ints], 16)
     _tick("witness encode: limb encode")
     # Only the NARROW z (0.54 GB at Np = 2^24) stays on device through
     # the h phase — the phase peaks HBM (three 1 GiB polys + NTT
