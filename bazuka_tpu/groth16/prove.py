@@ -96,20 +96,32 @@ def compute_h_mont(evs: list, d: int, backend: str = "jax"):
     ea/eb/ec/ca/cb/cc live OOM'd the 16 GB chip (round 4)."""
     F = fr_field(backend)
 
+    # At d >= 2^23 every transform's transients (stage buffers + the
+    # per-call device-built tables) are GBs; async dispatch lets
+    # consecutive transforms' transients coexist and overflow HBM
+    # (round-4 b256 OOMs).  Serialize: wait for each transform before
+    # dispatching the next.
+    def _sync(x):
+        if backend == "jax" and d >= (1 << 23):
+            import jax
+
+            jax.block_until_ready(x)
+        return x
+
     # interpolate then re-evaluate on the coset gH, one poly at a time
     def coset(x):
-        return ntt_mod.coset_ntt_mont(ntt_mod.ntt_mont(x, True, backend),
-                                      backend)
+        i = _sync(ntt_mod.ntt_mont(x, True, backend))
+        return _sync(ntt_mod.coset_ntt_mont(i, backend))
 
     assert len(evs) == 3
     ca = coset(evs.pop(0))
     cb = coset(evs.pop(0))
-    ab = F.mont_mul(ca, cb)
+    ab = _sync(F.mont_mul(ca, cb))
     del ca, cb
     cc = coset(evs.pop(0))
     z_on_coset = (pow(FR_GENERATOR, d, P) - 1) % P
     zinv = F.const_mont(pow(z_on_coset, -1, P))
-    h_evals = F.mont_mul(F.sub(ab, cc), zinv[None])
+    h_evals = _sync(F.mont_mul(F.sub(ab, cc), zinv[None]))
     del ab, cc
     h_coeffs = ntt_mod.coset_intt_mont(h_evals, backend)
     del h_evals
@@ -207,12 +219,21 @@ def create_proof(
     _tick("witness encode: upload + to_mont")
 
     d = qap.domain_size(dev.c.n_constraints, n_inputs)
-    ea, eb, ec = dev.eval_rows(z_mont)  # (n_rows, 16) mont
+    big = backend == "jax" and d >= (1 << 23)
+
+    def _sync(x):
+        if big:  # serialize GB-scale stages (see compute_h_mont)
+            import jax
+
+            jax.block_until_ready(x)
+        return x
+
+    # one sparse matvec at a time: each gathers/multiplies (n_terms, 16)
+    # transients that must not coexist at mainnet scale
+    evs = [_sync(p.eval(z_mont, dev.pal_mont)) for p in dev.row_plans]
     del z_mont  # only eval_rows consumes the Montgomery witness
-    evs = [ea, eb, ec]
-    del ea, eb, ec
     for i in range(3):  # pad in place so each unpadded poly frees now
-        evs[i] = _pad_rows(F, evs[i], d)
+        evs[i] = _sync(_pad_rows(F, evs[i], d))
     h_std = compute_h_mont(evs, d, backend)
     del evs
     if _timing:
