@@ -33,6 +33,13 @@ from .sparse import DeviceR1CS
 P = FR_MODULUS
 
 
+# Above this domain size the prover runs in "big" mode: GB-scale stages
+# are serialized and idle tensors parked at half width (see
+# compute_h_mont).  Module-level so tests can exercise big mode at toy
+# sizes.
+BIG_DOMAIN = 1 << 23
+
+
 def _msm_c(n: int) -> int:
     """Window size by MSM length: balances accumulation rounds (~n/2^c)
     against lane count (n_windows * 2^c)."""
@@ -96,17 +103,36 @@ def compute_h_mont(evs: list, d: int, backend: str = "jax"):
     ea/eb/ec/ca/cb/cc live OOM'd the 16 GB chip (round 4)."""
     F = fr_field(backend)
 
-    # At d >= 2^23 every transform's transients (stage buffers + the
-    # per-call device-built tables) are GBs; async dispatch lets
+    # At d >= 2^23 every transform's working set (stage buffers + the
+    # per-call device-built tables) is GBs; async dispatch lets
     # consecutive transforms' transients coexist and overflow HBM
-    # (round-4 b256 OOMs).  Serialize: wait for each transform before
-    # dispatching the next.
+    # (round-4 b256 OOMs).  Two defenses in "big" mode:
+    #   * serialize — wait for each transform before the next dispatch;
+    #   * idle tensors wait at HALF width (uint16 limb payloads) so the
+    #     active transform gets the chip mostly to itself.
+    big = backend == "jax" and d >= BIG_DOMAIN
+
     def _sync(x):
-        if backend == "jax" and d >= (1 << 23):
+        if big:
             import jax
 
             jax.block_until_ready(x)
         return x
+
+    def park(x):
+        """uint32 -> uint16 'parked' copy (values are 16-bit payloads)."""
+        if not big:
+            return x
+        import jax
+        import jax.numpy as jnp
+
+        return _sync(jax.jit(
+            lambda a: a.astype(jnp.uint16), donate_argnums=0)(x))
+
+    def unpark(x):
+        if not big:
+            return x
+        return _sync(_widen_u32(x))
 
     # interpolate then re-evaluate on the coset gH, one poly at a time
     def coset(x):
@@ -114,14 +140,18 @@ def compute_h_mont(evs: list, d: int, backend: str = "jax"):
         return _sync(ntt_mod.coset_ntt_mont(i, backend))
 
     assert len(evs) == 3
-    ca = coset(evs.pop(0))
-    cb = coset(evs.pop(0))
-    ab = _sync(F.mont_mul(ca, cb))
+    if big:  # park the two waiting inputs
+        evs[1] = park(evs[1])
+        evs[2] = park(evs[2])
+    ca = park(coset(evs.pop(0)))
+    cb = coset(unpark(evs.pop(0)))
+    ab = _sync(F.mont_mul(unpark(ca), cb))
     del ca, cb
-    cc = coset(evs.pop(0))
+    ab = park(ab)
+    cc = coset(unpark(evs.pop(0)))
     z_on_coset = (pow(FR_GENERATOR, d, P) - 1) % P
     zinv = F.const_mont(pow(z_on_coset, -1, P))
-    h_evals = _sync(F.mont_mul(F.sub(ab, cc), zinv[None]))
+    h_evals = _sync(F.mont_mul(F.sub(unpark(ab), cc), zinv[None]))
     del ab, cc
     h_coeffs = ntt_mod.coset_intt_mont(h_evals, backend)
     del h_evals
@@ -219,7 +249,7 @@ def create_proof(
     _tick("witness encode: upload + to_mont")
 
     d = qap.domain_size(dev.c.n_constraints, n_inputs)
-    big = backend == "jax" and d >= (1 << 23)
+    big = backend == "jax" and d >= BIG_DOMAIN
 
     def _sync(x):
         if big:  # serialize GB-scale stages (see compute_h_mont)

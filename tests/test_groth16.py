@@ -98,3 +98,22 @@ def test_unsatisfied_witness_fails_to_verify(params):
     assert cs.is_satisfied() == 0
     proof = create_proof(params, cs, r=7, s=11)
     assert not groth16_verify(params.vk, [999], proof)
+
+
+def test_big_mode_prove_verify():
+    """BIG_DOMAIN mode (serialized stages + half-width parked tensors,
+    the d=2^24 mainnet path) must produce the same accepting proofs as
+    normal mode.  Forced at toy size via the module threshold."""
+    import bazuka_tpu.groth16.prove as prove_mod
+    from bazuka_tpu.groth16.verify import groth16_verify
+
+    cs, z = multiply_circuit(3, 5)
+    params = generate_parameters(cs, seed=b"big-mode")
+    old = prove_mod.BIG_DOMAIN
+    try:
+        prove_mod.BIG_DOMAIN = 1
+        proof = prove_mod.create_proof(params, cs, r=7, s=11)
+    finally:
+        prove_mod.BIG_DOMAIN = old
+    assert groth16_verify(params.vk, [z], proof)
+    assert not groth16_verify(params.vk, [(z + 1) % P], proof)
