@@ -207,11 +207,131 @@ def _ntt_fn(log_n: int, inverse: bool, backend: str):
 
 def ntt_mont(x, inverse: bool = False, backend: str = "jax"):
     """(n, 16) Montgomery limbs -> NTT'd limbs, bit-exact vs ntt_host.
-    jax backend DONATES x (see _ntt_fn)."""
+    jax backend DONATES x (see _ntt_fn).  Above _FOURSTEP_MIN_LOG_N the
+    monolithic stage-loop program is replaced by the chunked Bailey
+    four-step (see _ntt_mont_fourstep): the 24-stage program's peak
+    working set at 2^24 is most of the chip, and with any other proof
+    state resident it OOMs (round-4 b256)."""
     log_n = x.shape[0].bit_length() - 1
+    if backend == "jax" and log_n >= _FOURSTEP_MIN_LOG_N:
+        return _ntt_mont_fourstep(x, log_n, inverse, backend)
     return _ntt_fn(log_n, inverse, backend)(
         x, _rev_dev(log_n, backend), _stage_twiddles(log_n, inverse, backend)
     )
+
+
+# ------------------------------------------ single-chip four-step NTT
+#
+# Bailey decomposition, N = A*B with n = A*n2 + n1, k = B*k1 + k2:
+#   X[B*k1+k2] = Σ_{n1} w_A^{n1*k1} · ( w_N^{n1*k2} · Σ_{n2} x[A*n2+n1]
+#                                        · w_B^{n2*k2} )
+# i.e. reshape to (B, A), transpose, row-NTT_B, twiddle by w_N^{n1*k2},
+# transpose, row-NTT_A, transpose back.  Every row-NTT runs over a
+# CHUNK of rows (a few hundred MB working set), so peak HBM is bounded
+# by ~3 full-tensor buffers regardless of N — the monolithic program's
+# peak grows with the unrolled stage count.  Same math as the multichip
+# ntt_four_step (parallel.__init__), with the mesh axis replaced by a
+# host chunk loop on one chip.
+
+_FOURSTEP_MIN_LOG_N = 23
+_FOURSTEP_CHUNK_LANES = 1 << 22  # rows*cols lanes per dispatch (~268 MB)
+
+
+@functools.cache
+def _transpose_fn(backend: str):
+    import jax
+
+    return jax.jit(lambda a: a.transpose(1, 0, 2), donate_argnums=0)
+
+
+@functools.cache
+def _row_ntt_jit(log_m: int, inverse: bool, backend: str):
+    """One jitted program per row-chunk: the unscaled batched stage loop
+    (tables as runtime args, input donated)."""
+    import jax
+
+    fn = _ntt_batched_fn(log_m, inverse, backend, scale=False)
+    return jax.jit(fn, donate_argnums=0)
+
+
+@functools.cache
+def _twiddle_rows_fn(log_n: int, log_B: int, C: int, backend: str):
+    """jitted: rows chunk (C, B, 16) * w_N^{(lo+r)*k2} for r in [0, C).
+    Exponent powers via bit decomposition against the (log_n, 16)
+    w_N^(2^k) table (runtime arg, inverse-agnostic)."""
+    F = fr_field(backend)
+    import jax
+    import jax.numpy as jnp
+
+    one = F.const_mont(1)
+    B = 1 << log_B
+
+    def run(chunk, lo, wp):
+        # exponents n1*k2 < A*B = N <= 2^30 for every supported domain
+        # (Fr 2-adicity caps log_n at 32; the prover uses <= 2^24), so
+        # 32-bit arange arithmetic cannot overflow even without x64.
+        r = lo + jnp.arange(C, dtype=jnp.int64)
+        e = (r[:, None] * jnp.arange(B, dtype=jnp.int64)[None, :]) % (
+            1 << log_n
+        )
+        acc = jnp.broadcast_to(one[None, None], (C, B, F.n))
+        for k in range(log_n):
+            bit = ((e >> k) & 1).astype(jnp.uint32)
+            factor = jnp.where(bit[..., None] != 0, wp[k][None, None],
+                               one[None, None])
+            acc = F.mont_mul(acc, factor)
+        return F.mont_mul(chunk, acc)
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def _ntt_mont_fourstep(x, log_n: int, inverse: bool, backend: str):
+    F = fr_field(backend)
+    xp = F.xp
+    log_A = (log_n + 1) // 2
+    log_B = log_n - log_A
+    A, B = 1 << log_A, 1 << log_B
+    w = root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, P)
+    wp = _w_pow_table(w, log_n, backend)
+    tr = _transpose_fn(backend)
+
+    def chunked_rows(x2d, fn):
+        R, m = x2d.shape[0], x2d.shape[1]
+        C = max(1, min(R, _FOURSTEP_CHUNK_LANES // m))
+        outs = [fn(x2d[lo : lo + C], lo) for lo in range(0, R, C)]
+        return outs[0] if len(outs) == 1 else xp.concatenate(outs, axis=0)
+
+    def row_ntt(chunk, log_m):
+        return _row_ntt_jit(log_m, inverse, backend)(
+            chunk, _rev_dev(log_m, backend),
+            _stage_twiddles(log_m, inverse, backend),
+        )
+
+    # (N,16) -> (B, A, 16) -> T -> (A, B, 16): rows n1, cols n2->k2
+    y = tr(x.reshape(B, A, F.n))
+    del x
+    # row-NTT_B + twiddle w_N^{n1*k2}, one chunk of rows at a time
+    tw = None
+
+    def step1(chunk, lo):
+        nonlocal tw
+        out = row_ntt(chunk, log_B)
+        if tw is None:
+            tw = _twiddle_rows_fn(log_n, log_B, out.shape[0], backend)
+        return tw(out, lo, wp)
+
+    y = chunked_rows(y, step1)
+    # T -> (B, A, 16): rows k2, cols n1; row-NTT_A
+    y = tr(y)
+    y = chunked_rows(y, lambda c, lo: row_ntt(c, log_A))
+    # W[k2, k1] -> T -> (A, B)[k1, k2] -> (N,)
+    y = tr(y).reshape(1 << log_n, F.n)
+    if inverse:
+        n_inv = F.const_mont(pow(1 << log_n, -1, P))
+        y = F.mont_mul(y, n_inv[None])
+    return y
 
 
 @functools.cache

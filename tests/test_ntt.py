@@ -97,3 +97,27 @@ def test_table_cache_policy():
     a = nttm._stage_twiddles(8, False, "np")
     b = nttm._stage_twiddles(8, False, "np")
     assert a is b
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("log_n", [5, 8])
+def test_fourstep_matches_host(inverse, log_n):
+    """The chunked single-chip Bailey four-step (big-domain path of
+    ntt_mont, d >= 2^23 — the mainnet b256 prover's transform) must be
+    bit-exact vs the host oracle.  Forced at toy sizes via the module
+    thresholds; odd and even log_n cover the A != B split."""
+    import bazuka_tpu.ops.ntt as mod
+
+    F = fr_field("jax")
+    old_min, old_chunk = mod._FOURSTEP_MIN_LOG_N, mod._FOURSTEP_CHUNK_LANES
+    try:
+        mod._FOURSTEP_MIN_LOG_N = 4
+        mod._FOURSTEP_CHUNK_LANES = 1 << 6  # several chunks per pass
+        vals = rand_vals(1 << log_n, log_n + (7 if inverse else 0))
+        enc = F.xp.asarray(F.encode(np.array(vals, dtype=object)))
+        got = [int(v) for v in
+               F.decode(np.asarray(mod.ntt_mont(enc, inverse, "jax")))]
+        assert got == mod.ntt_host(vals, inverse=inverse)
+    finally:
+        mod._FOURSTEP_MIN_LOG_N = old_min
+        mod._FOURSTEP_CHUNK_LANES = old_chunk
