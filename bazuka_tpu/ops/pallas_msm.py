@@ -1291,6 +1291,28 @@ def presum_g1(P_am, inf, plan: _DedupPlan, s_tile: int = 8,
     return wst.g1_proj_to_am(proj, "jax")
 
 
+@functools.cache
+def _dedup_scatter_fn():
+    """One jitted scatter pass for the dedup rewrite.  P_am/inf are
+    DONATED — at mainnet Np = 2^24 the G1 query is 3.2 GB and eager
+    `.at[].set` copies (one per scatter) OOM'd the chip (round 4); the
+    donated scatter updates in place.  The scalars are NOT donated
+    (shared by the a/b_g1/b_g2 MSMs) but the two chained updates fuse
+    into a single copy."""
+    import jax
+
+    def run(P_am, inf, scalars_std, hpos, slots, heavy_scalars, sum_am,
+            sum_inf):
+        scal = scalars_std.at[hpos].set(0).at[slots].set(heavy_scalars)
+        return (
+            P_am.at[slots].set(sum_am),
+            inf.at[slots].set(sum_inf.astype(inf.dtype)),
+            scal,
+        )
+
+    return jax.jit(run, donate_argnums=(0, 1))
+
+
 def apply_dedup_g1(P_am, inf, scalars_std, plan: _DedupPlan):
     """Functional rewrite of one G1 MSM instance: heavy groups summed
     into their slot positions, remaining heavy scalars zeroed."""
@@ -1299,13 +1321,11 @@ def apply_dedup_g1(P_am, inf, scalars_std, plan: _DedupPlan):
     if not plan.active:
         return P_am, inf, scalars_std
     sum_am, sum_inf = presum_g1(P_am, inf, plan)
-    hpos = jnp.asarray(plan.hpos)
-    slots = jnp.asarray(plan.slots)
-    scal = scalars_std.at[hpos].set(0)
-    scal = scal.at[slots].set(jnp.asarray(plan.heavy_scalars))
-    P2 = P_am.at[slots].set(sum_am)
-    inf2 = inf.at[slots].set(sum_inf.astype(inf.dtype))
-    return P2, inf2, scal
+    return _dedup_scatter_fn()(
+        P_am, inf, scalars_std, jnp.asarray(plan.hpos),
+        jnp.asarray(plan.slots), jnp.asarray(plan.heavy_scalars),
+        sum_am, sum_inf,
+    )
 
 
 # --------------------------------------------------------------- host API
@@ -1531,9 +1551,7 @@ def apply_dedup_g2_am(P_am, inf, scalars_std, plan: _DedupPlan,
          (sums[4].T, sums[5].T)),
         "jax",
     )
-    slots = jnp.asarray(plan.slots)
-    scal = scalars_std.at[hpos].set(0)
-    scal = scal.at[slots].set(jnp.asarray(plan.heavy_scalars))
-    P2 = P_am.at[slots].set(sum_am)
-    inf2 = inf.at[slots].set(sum_inf.astype(inf.dtype))
-    return P2, inf2, scal
+    return _dedup_scatter_fn()(
+        P_am, inf, scalars_std, hpos, jnp.asarray(plan.slots),
+        jnp.asarray(plan.heavy_scalars), sum_am, sum_inf,
+    )

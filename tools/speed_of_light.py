@@ -118,8 +118,10 @@ def measure_device():
     Fr = fr_field("jax")
     limbs = rng.integers(0, 2**16, size=(1 << 20, 16), dtype=np.uint32)
     xf = Fr.xp.asarray(limbs)
-    y = ntt_mont(xf)
-    dtn = timeit(lambda: ntt_mont(xf), iters=5)
+    # ntt_mont donates its input on TPU: chain outputs instead of
+    # reusing xf (a reused donated buffer raises "deleted")
+    y = [ntt_mont(xf)]
+    dtn = timeit(lambda: y.__setitem__(0, ntt_mont(y[0])) or y[0], iters=5)
     out["ntt_2e20_elems_per_s"] = (1 << 20) / dtn
     out["ntt_2e20_s"] = dtn
     del y
