@@ -324,6 +324,7 @@ def create_proof(
     ]
     if d > 1:
         jobs.append(("h", pk.h_query, run_g1, _pad_rows(F, h_std, Np), None))
+        del h_std  # the padded copy is 1 GiB at d = 2^24; keep ONE
     if num_vars > n_inputs:
         jobs.append(("l", pk.l_query, run_g1, aux_p, plan_aux))
     jobs.append(("b_g2", pk.b_g2_query, run_g2, z_p, plan_z))
@@ -357,8 +358,14 @@ def create_proof(
         q, pending = pending, None
         if q is None:  # prefetch was skipped (size cap)
             q = _put(jobs[i][1], ahead=False)
-        if i + 1 < len(jobs):
-            pending = _put(jobs[i + 1][1], ahead=True)  # overlaps the MSM
+        if i + 1 < len(jobs) and not big:
+            # overlap the next query's tunnel upload with this MSM's
+            # drain.  NOT in big mode: at Np = 2^24 a pending 1.6 GB
+            # narrow query on top of the 3.2 GB widened current query,
+            # three ~1 GB scalar tensors and the split-dedup transients
+            # tipped the chip over (round-4 v9 OOM) — big mode strictly
+            # serializes upload -> widen -> drain.
+            pending = _put(jobs[i + 1][1], ahead=True)
         sums[name] = run(_consume(q, fresh), scalars, plan)
         del q
         _tick(f"MSM {name}")

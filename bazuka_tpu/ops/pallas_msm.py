@@ -1292,40 +1292,18 @@ def presum_g1(P_am, inf, plan: _DedupPlan, s_tile: int = 8,
 
 
 @functools.cache
-def _dedup_scatter_fn():
-    """One jitted scatter pass for the dedup rewrite.  P_am/inf are
-    DONATED — at mainnet Np = 2^24 the G1 query is 3.2 GB and eager
-    `.at[].set` copies (one per scatter) OOM'd the chip (round 4); the
-    donated scatter updates in place.  The scalars are NOT donated
-    (shared by the a/b_g1/b_g2 MSMs) but the two chained updates fuse
-    into a single copy."""
+def _zero_rows_fn():
+    """jitted: zero the given rows of an (N, 16) scalar tensor.  The
+    (…, 16) minor dim packs the TPU tile exactly (128/16), so this
+    scatter is layout-clean — unlike any scatter into the (N, 2, 24)
+    point tensor, whose 24-limb minor dim forces a T(2,128) padded
+    relayout COPY (5.3x, 16 GB at Np = 2^24; round-4 OOM)."""
     import jax
 
-    def run(P_am, inf, scalars_std, hpos, slots, heavy_scalars, sum_am,
-            sum_inf):
-        scal = scalars_std.at[hpos].set(0).at[slots].set(heavy_scalars)
-        return (
-            P_am.at[slots].set(sum_am),
-            inf.at[slots].set(sum_inf.astype(inf.dtype)),
-            scal,
-        )
+    def run(scalars_std, hpos):
+        return scalars_std.at[hpos].set(0)
 
-    return jax.jit(run, donate_argnums=(0, 1))
-
-
-def apply_dedup_g1(P_am, inf, scalars_std, plan: _DedupPlan):
-    """Functional rewrite of one G1 MSM instance: heavy groups summed
-    into their slot positions, remaining heavy scalars zeroed."""
-    import jax.numpy as jnp
-
-    if not plan.active:
-        return P_am, inf, scalars_std
-    sum_am, sum_inf = presum_g1(P_am, inf, plan)
-    return _dedup_scatter_fn()(
-        P_am, inf, scalars_std, jnp.asarray(plan.hpos),
-        jnp.asarray(plan.slots), jnp.asarray(plan.heavy_scalars),
-        sum_am, sum_inf,
-    )
+    return jax.jit(run)
 
 
 # --------------------------------------------------------------- host API
@@ -1386,9 +1364,28 @@ def msm_lm(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
     from . import weierstrass as wst
 
     if dedup_plan is not None and dedup_plan.active:
-        P_am, inf, scalars_std = apply_dedup_g1(
-            P_am, inf, scalars_std, dedup_plan
-        )
+        # Dedup as MSM splitting (never scatter into the point tensor —
+        # see _zero_rows_fn): Σ s_i·P_i = Σ_{light} s_i·P_i
+        #                              + Σ_{heavy vals v} v·(Σ_{group} P_i)
+        # The heavy groups are presummed on device and finished as a
+        # tiny V-point MSM; the main drain runs with heavy rows zeroed.
+        plan = dedup_plan
+        sum_am, sum_inf = presum_g1(P_am, inf, plan)
+        V = int(plan.heavy_scalars.shape[0])
+        # finish the tiny V-point MSM FIRST and free its buffers so
+        # the main drain's scratch never coexists with the presum
+        # gather transients (big-domain HBM discipline, round 4)
+        extra = msm_lm(sum_am, sum_inf, jnp.asarray(plan.heavy_scalars),
+                       c=4 if V < (1 << 12) else 8, nbits=nbits,
+                       s_tile=s_tile, interpret=interpret, chunk=chunk)
+        del sum_am, sum_inf
+        scal = _zero_rows_fn()(scalars_std, jnp.asarray(plan.hpos))
+        main = msm_lm(P_am, inf, scal, c=c, nbits=nbits, s_tile=s_tile,
+                      interpret=interpret, chunk=chunk)
+        del scal
+        if main is None:
+            return extra
+        return bls.g1_add(main, extra) if extra is not None else main
     N = int(scalars_std.shape[0])
     if _use_v3(N, chunk):
         # v3 derives validity from digit != 0, so infinity points must
@@ -1455,9 +1452,25 @@ def msm_lm_g2(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
     from . import weierstrass as wst
 
     if dedup_plan is not None and dedup_plan.active:
-        P_am, inf, scalars_std = apply_dedup_g2_am(
-            P_am, inf, scalars_std, dedup_plan
-        )
+        # MSM splitting (same as msm_lm): presummed heavy groups finish
+        # in a tiny V-point MSM; no scatter into the (N, 4, 24) tensor.
+        import jax.numpy as jnp
+
+        plan = dedup_plan
+        sum_am, sum_inf = presum_g2_am(P_am, inf, plan, s_tile, interpret)
+        V = int(plan.heavy_scalars.shape[0])
+        extra = msm_lm_g2(sum_am, sum_inf,
+                          jnp.asarray(plan.heavy_scalars),
+                          c=4 if V < (1 << 12) else 8, nbits=nbits,
+                          s_tile=s_tile, interpret=interpret, chunk=chunk)
+        del sum_am, sum_inf  # before the main drain's scratch (HBM)
+        scal = _zero_rows_fn()(scalars_std, jnp.asarray(plan.hpos))
+        main = msm_lm_g2(P_am, inf, scal, c=c, nbits=nbits, s_tile=s_tile,
+                         interpret=interpret, chunk=chunk)
+        del scal
+        if main is None:
+            return extra
+        return bls.g2_add(main, extra) if extra is not None else main
     N = int(scalars_std.shape[0])
     if _use_v3(N, chunk):
         import jax.numpy as jnp
@@ -1527,15 +1540,13 @@ def _g2_presum_am_fn(m: int, Hp: int, Ks: int, n_rounds: int, s_tile: int,
     return run
 
 
-def apply_dedup_g2_am(P_am, inf, scalars_std, plan: _DedupPlan,
-                      s_tile: int = 8, interpret: bool = False):
-    """G2 analog of apply_dedup_g1 over the (N, 4, 24) affine layout."""
+def presum_g2_am(P_am, inf, plan: _DedupPlan, s_tile: int = 8,
+                 interpret: bool = False):
+    """G2 analog of presum_g1 over the (N, 4, 24) affine layout."""
     import jax.numpy as jnp
 
     from . import weierstrass as wst
 
-    if not plan.active:
-        return P_am, inf, scalars_std
     hpos = jnp.asarray(plan.hpos)
     pad = plan.Hp - plan.n_heavy_elems
     gidx = jnp.concatenate([hpos, jnp.zeros(pad, jnp.int32)])
@@ -1546,12 +1557,8 @@ def apply_dedup_g2_am(P_am, inf, scalars_std, plan: _DedupPlan,
     acc = fn(Ph, infh, jnp.asarray(plan.run_start),
              jnp.asarray(plan.run_len), jnp.asarray(plan.fold_masks))
     sums = acc[:, :, jnp.asarray(plan.first_lane)]  # (6, 24, V) proj
-    sum_am, sum_inf = wst.g2_proj_to_am(
+    return wst.g2_proj_to_am(
         ((sums[0].T, sums[1].T), (sums[2].T, sums[3].T),
          (sums[4].T, sums[5].T)),
         "jax",
-    )
-    return _dedup_scatter_fn()(
-        P_am, inf, scalars_std, hpos, jnp.asarray(plan.slots),
-        jnp.asarray(plan.heavy_scalars), sum_am, sum_inf,
     )
