@@ -111,6 +111,16 @@ def compute_h_mont(evs: list, d: int, backend: str = "jax"):
     #   * idle tensors wait at HALF width (uint16 limb payloads) so the
     #     active transform gets the chip mostly to itself.
     big = backend == "jax" and d >= BIG_DOMAIN
+    _h_timing = bool(__import__("os").environ.get("BAZUKA_PROVE_TIMING"))
+    _ht = [__import__("time").perf_counter()]
+
+    def _htick(name):
+        if _h_timing and big:
+            import time as _tm
+
+            now = _tm.perf_counter()
+            print(f"    [h] {name}: {now - _ht[0]:.2f}s", flush=True)
+            _ht[0] = now
 
     def _sync(x):
         if big:
@@ -137,24 +147,31 @@ def compute_h_mont(evs: list, d: int, backend: str = "jax"):
     # interpolate then re-evaluate on the coset gH, one poly at a time
     def coset(x):
         i = _sync(ntt_mod.ntt_mont(x, True, backend))
-        return _sync(ntt_mod.coset_ntt_mont(i, backend))
+        _htick("intt")
+        out = _sync(ntt_mod.coset_ntt_mont(i, backend))
+        _htick("coset-ntt")
+        return out
 
     assert len(evs) == 3
     if big:  # park the two waiting inputs
         evs[1] = park(evs[1])
         evs[2] = park(evs[2])
+    _htick("park-inputs")
     ca = park(coset(evs.pop(0)))
     cb = coset(unpark(evs.pop(0)))
     ab = _sync(F.mont_mul(unpark(ca), cb))
     del ca, cb
     ab = park(ab)
+    _htick("a*b")
     cc = coset(unpark(evs.pop(0)))
     z_on_coset = (pow(FR_GENERATOR, d, P) - 1) % P
     zinv = F.const_mont(pow(z_on_coset, -1, P))
     h_evals = _sync(F.mont_mul(F.sub(unpark(ab), cc), zinv[None]))
     del ab, cc
+    _htick("(ab-c)/Z")
     h_coeffs = ntt_mod.coset_intt_mont(h_evals, backend)
     del h_evals
+    _htick("coset-intt")
     # degree ≤ d-2: drop the top coefficient, return standard form for MSM
     return F.from_mont(h_coeffs[: d - 1])
 
@@ -168,10 +185,11 @@ def _pad_rows(F, x, d: int):
     )
 
 
-def _g2_msm(query, scalars_std, backend: str, plan=None, c: int = 12):
+def _g2_msm(query, scalars_std, backend: str, plan=None, c: int = 12,
+            chunk: int = 1 << 18):
     """query: ((Np, 4, 24) affine, (Np,) inf) — the v2 G2 pipeline."""
     return pmsm.msm_lm_g2(query[0], query[1], scalars_std, c=c,
-                          dedup_plan=plan)
+                          dedup_plan=plan, chunk=chunk)
 
 
 def create_proof(
@@ -222,15 +240,60 @@ def create_proof(
     # pad to the shared MSM query length BEFORE any device op so every
     # per-proof kernel (to_mont, digit extraction) compiles at one shape
     Np = pk.a_query[0].shape[0]
-    z_np = np.zeros((Np, 16), np.uint32)
-    # HOST-side limb encode (fields.limbs.ints_to_array byte path).
-    # F.encode on the jax backend ends in xp.asarray — a device upload —
-    # and assigning that into z_np would download it right back: a
-    # ~1.7 GB hidden tunnel round-trip at Np = 2^24 (round 4: 164 s of
-    # the witness-encode wall was exactly this).
-    from ..fields.limbs import ints_to_array
+    d = qap.domain_size(dev.c.n_constraints, n_inputs)
+    big = backend == "jax" and d >= BIG_DOMAIN
 
-    z_np[:num_vars] = ints_to_array([v % P for v in z_ints], 16)
+    # PRE-WARM the mainnet-scale MSM programs on a worker thread while
+    # the host encodes the witness and the device runs the h phase:
+    # round-4 v10 measured MSM a at 554.5 s vs b_g1 at 90.5 s at the
+    # IDENTICAL shape — ~460 s of first-dispatch compilation that the
+    # persistent cache does not absorb on this stack.  jax.jit compiles
+    # lazily, so the thread forces AOT compilation via lower().compile();
+    # the result lands in the same jit cache the MSM loop hits later.
+    # XLA compilation releases the GIL and is thread-safe against the
+    # main thread's device ops (one PROCESS still owns the TPU tunnel).
+    prewarm = None
+    if backend == "jax" and Np >= (1 << 22):
+        import threading
+
+        def _prewarm_worker():
+            try:
+                import jax
+
+                sds = jax.ShapeDtypeStruct
+                u32 = np.uint32
+                for kind, n_aff, ch in (  # ch matches run_g2's policy
+                    ("g1", 2, 1 << 18),
+                    ("g2", 4, (1 << 17) if big else (1 << 18)),
+                ):
+                    run, _ = pmsm._msm_program_v3(
+                        Np, _msm_c(Np), 255, 8, False, ch, kind
+                    )
+                    run.lower(
+                        sds((Np, n_aff, 24), u32), sds((Np,), u32),
+                        sds((Np, 16), u32),
+                    ).compile()
+            except Exception:
+                pass  # warm-up is best-effort; the MSM loop compiles lazily
+
+        prewarm = threading.Thread(target=_prewarm_worker, daemon=True)
+        prewarm.start()
+    z_np = np.zeros((Np, 16), np.uint32)
+    # HOST-side limb encode.  F.encode on the jax backend ends in
+    # xp.asarray — a device upload — and assigning that into z_np would
+    # download it right back: a ~1.7 GB hidden tunnel round-trip at
+    # Np = 2^24 (round 4: 164 s of the witness-encode wall was exactly
+    # this).  The encode itself is native C (one pass over the list,
+    # ~5x the bytes path at 13M vars); fallback: ints_to_array.
+    from ..native import native_encode_fr16
+
+    enc16 = native_encode_fr16(z_ints, P)
+    if enc16 is not None:
+        z_np[:num_vars] = enc16
+    else:
+        from ..fields.limbs import ints_to_array
+
+        z_np[:num_vars] = ints_to_array([v % P for v in z_ints], 16)
     _tick("witness encode: limb encode")
     # Only the NARROW z (0.54 GB at Np = 2^24) stays on device through
     # the h phase — the phase peaks HBM (three 1 GiB polys + NTT
@@ -248,8 +311,23 @@ def create_proof(
         jax.block_until_ready(z_mont)
     _tick("witness encode: upload + to_mont")
 
-    d = qap.domain_size(dev.c.n_constraints, n_inputs)
-    big = backend == "jax" and d >= BIG_DOMAIN
+    # Dedup plans are pure host work over z_np (C++ group sort +
+    # run-decomposition) — overlap them with the device-bound h phase
+    # on a second thread instead of paying ~17 s serially afterwards.
+    plan_box: dict = {}
+    plan_thread = None
+    if backend == "jax":
+        import threading
+
+        def _plan_worker():
+            try:
+                plan_box["z"] = pmsm.make_dedup_plan(z_np)
+                plan_box["aux"] = plan_box["z"].derive_shifted(n_inputs)
+            except Exception:
+                plan_box.clear()  # fall back to the serial path below
+
+        plan_thread = threading.Thread(target=_plan_worker, daemon=True)
+        plan_thread.start()
 
     def _sync(x):
         if big:  # serialize GB-scale stages (see compute_h_mont)
@@ -307,16 +385,29 @@ def create_proof(
     # last: its query is 2x a G1 query, so it never coexists with more
     # than one pending G1 upload.
     c_full = _msm_c(Np)
-    plan_z = pmsm.make_dedup_plan(z_np)
-    plan_aux = plan_z.derive_shifted(n_inputs)
+    if plan_thread is not None:
+        plan_thread.join()
+    if "z" in plan_box:
+        plan_z, plan_aux = plan_box["z"], plan_box["aux"]
+    else:
+        plan_z = pmsm.make_dedup_plan(z_np)
+        plan_aux = plan_z.derive_shifted(n_inputs)
     _tick("dedup plans")
+    if prewarm is not None:
+        prewarm.join()  # all-compiles-done before the first drain
+        _tick("msm prewarm join")
 
     def run_g1(query, scalars, plan):
         return pmsm.msm_lm(*query, scalars, c=c_full, dedup_plan=plan)
 
     def run_g2(query, scalars, plan):
+        # G2 drain working set is 2x G1 at the same chunk (4-plane
+        # stream + schedule + 6-plane trace all scale with chunk); in
+        # big mode halve the chunk so the drain fits NEXT TO the 6.4 GB
+        # widened query (round-5 v11 OOM: chunk 2^18 peaked ~16.4 GB)
         return _g2_msm(query, backend=backend, scalars_std=scalars,
-                       plan=plan, c=c_full)
+                       plan=plan, c=c_full,
+                       chunk=(1 << 17) if big else (1 << 18))
 
     jobs = [
         ("a", pk.a_query, run_g1, z_p, plan_z),
@@ -327,7 +418,9 @@ def create_proof(
         del h_std  # the padded copy is 1 GiB at d = 2^24; keep ONE
     if num_vars > n_inputs:
         jobs.append(("l", pk.l_query, run_g1, aux_p, plan_aux))
+        del aux_p  # ref lives in the l job only; freed right after it runs
     jobs.append(("b_g2", pk.b_g2_query, run_g2, z_p, plan_z))
+    del z_p  # jobs hold the only refs; each is dropped as its MSM runs
 
     # Prefetch cap: a pending narrow G2 query at Np = 2^24 is 3.2 GB;
     # letting it coexist with the current widened G1 query + drain
@@ -353,11 +446,13 @@ def create_proof(
 
     sums = {"h": None, "l": None}
     pending = _put(jobs[0][1], ahead=False)
-    for i, (name, _, run, scalars, plan) in enumerate(jobs):
-        fresh = isinstance(jobs[i][1][0], np.ndarray)
+    for i in range(len(jobs)):
+        name, query, run, scalars, plan = jobs[i]
+        jobs[i] = None  # drop this job's scalar ref once it has run
+        fresh = isinstance(query[0], np.ndarray)
         q, pending = pending, None
         if q is None:  # prefetch was skipped (size cap)
-            q = _put(jobs[i][1], ahead=False)
+            q = _put(query, ahead=False)
         if i + 1 < len(jobs) and not big:
             # overlap the next query's tunnel upload with this MSM's
             # drain.  NOT in big mode: at Np = 2^24 a pending 1.6 GB
@@ -367,7 +462,7 @@ def create_proof(
             # serializes upload -> widen -> drain.
             pending = _put(jobs[i + 1][1], ahead=True)
         sums[name] = run(_consume(q, fresh), scalars, plan)
-        del q
+        del q, query, scalars
         _tick(f"MSM {name}")
     sum_az, sum_bz_g1 = sums["a"], sums["b_g1"]
     sum_h, sum_l, sum_bz_g2 = sums["h"], sums["l"], sums["b_g2"]

@@ -1238,14 +1238,22 @@ def _g1_presum_fn(m: int, Hp: int, Ks: int, n_rounds: int, s_tile: int,
         [(one_mont >> (16 * i)) & 0xFFFF for i in range(N_LIMB)], np.uint32
     )
 
-    def run(Ph_am, infh, run_start, run_len, fold_masks):
+    def run(P_am, inf, gidx, run_start, run_len, fold_masks):
+        # Indirect per-round gather: each round reads (Ks, 2, 24) rows of
+        # the FULL query through gidx instead of pre-gathering a
+        # contiguous (Hp, 2, 24) copy.  At Np = 2^24 the upfront copy
+        # is GBs on top of the widened query (round-4 b256 G2 OOM); the
+        # per-round gather's transient is ~Ks rows.  Pad runs carry
+        # run_len = 0 (sentinel label), so out-of-range gidx entries
+        # (clamped to 0) never contribute.
         acc = jnp.zeros((3, N_LIMB, Ks), jnp.uint32)
         acc = acc.at[1].set(jnp.asarray(one_limbs)[:, None])
 
         def body(r, acc):
             pos = jnp.clip(run_start + r, 0, Hp - 1)
-            valid = (r < run_len) & (infh[pos] == 0)
-            pts = Ph_am[pos].transpose(1, 2, 0)
+            gpos = gidx[pos]
+            valid = (r < run_len) & (inf[gpos] == 0)
+            pts = P_am[gpos].transpose(1, 2, 0)
             return madd_select_lm(acc, pts, valid, s_tile, interpret)
 
         acc = jax.lax.fori_loop(0, m, body, acc)
@@ -1264,6 +1272,17 @@ def _g1_presum_fn(m: int, Hp: int, Ks: int, n_rounds: int, s_tile: int,
     return run
 
 
+def _presum_gidx(plan: _DedupPlan):
+    """(Hp,) device indices into the full query: heavy positions followed
+    by zero-padding (pad runs have run_len = 0 so the pads never add)."""
+    import jax.numpy as jnp
+
+    pad = plan.Hp - plan.n_heavy_elems
+    return jnp.concatenate(
+        [jnp.asarray(plan.hpos), jnp.zeros(pad, jnp.int32)]
+    )
+
+
 def presum_g1(P_am, inf, plan: _DedupPlan, s_tile: int = 8,
               interpret: bool = False):
     """Sum each heavy group's points.  Returns ((V, 2, 24) affine sums,
@@ -1273,18 +1292,9 @@ def presum_g1(P_am, inf, plan: _DedupPlan, s_tile: int = 8,
     from . import weierstrass as wst
 
     xp = jnp
-    hpos = xp.asarray(plan.hpos)
-    pad = plan.Hp - plan.n_heavy_elems
-    gather_idx = xp.concatenate(
-        [hpos, xp.zeros(pad, jnp.int32)]
-    )
-    Ph = P_am[gather_idx]
-    infh = xp.concatenate(
-        [inf[hpos], xp.ones(pad, inf.dtype)]
-    )
     fn = _g1_presum_fn(plan.m, plan.Hp, plan.Ks,
                        plan.fold_masks.shape[0], s_tile, interpret)
-    acc = fn(Ph, infh, xp.asarray(plan.run_start),
+    acc = fn(P_am, inf, _presum_gidx(plan), xp.asarray(plan.run_start),
              xp.asarray(plan.run_len), xp.asarray(plan.fold_masks))
     sums = acc[:, :, xp.asarray(plan.first_lane)]  # (3, 24, V) proj
     proj = (sums[0].T, sums[1].T, sums[2].T)
@@ -1514,14 +1524,19 @@ def _g2_presum_am_fn(m: int, Hp: int, Ks: int, n_rounds: int, s_tile: int,
         [(one_mont >> (16 * i)) & 0xFFFF for i in range(N_LIMB)], np.uint32
     )
 
-    def run(Ph_am, infh, run_start, run_len, fold_masks):
+    def run(P_am, inf, gidx, run_start, run_len, fold_masks):
+        # Indirect gather per round (see _g1_presum_fn): the (Hp, 4, 24)
+        # upfront copy on top of the 6.4 GB widened G2 query was the
+        # round-4 b256 OOM site; reading through gidx bounds the
+        # transient at (Ks, 4, 24) per round.
         acc = jnp.zeros((6, N_LIMB, Ks), jnp.uint32)
         acc = acc.at[2].set(jnp.asarray(one_limbs)[:, None])
 
         def body(r, acc):
             pos = jnp.clip(run_start + r, 0, Hp - 1)
-            valid = (r < run_len) & (infh[pos] == 0)
-            pts = Ph_am[pos].transpose(1, 2, 0)
+            gpos = gidx[pos]
+            valid = (r < run_len) & (inf[gpos] == 0)
+            pts = P_am[gpos].transpose(1, 2, 0)
             return madd_select_g2_lm(acc, pts, valid, s_tile, interpret)
 
         acc = jax.lax.fori_loop(0, m, body, acc)
@@ -1547,14 +1562,9 @@ def presum_g2_am(P_am, inf, plan: _DedupPlan, s_tile: int = 8,
 
     from . import weierstrass as wst
 
-    hpos = jnp.asarray(plan.hpos)
-    pad = plan.Hp - plan.n_heavy_elems
-    gidx = jnp.concatenate([hpos, jnp.zeros(pad, jnp.int32)])
-    Ph = P_am[gidx]
-    infh = jnp.concatenate([inf[hpos], jnp.ones(pad, inf.dtype)])
     fn = _g2_presum_am_fn(plan.m, plan.Hp, plan.Ks,
                           plan.fold_masks.shape[0], s_tile, interpret)
-    acc = fn(Ph, infh, jnp.asarray(plan.run_start),
+    acc = fn(P_am, inf, _presum_gidx(plan), jnp.asarray(plan.run_start),
              jnp.asarray(plan.run_len), jnp.asarray(plan.fold_masks))
     sums = acc[:, :, jnp.asarray(plan.first_lane)]  # (6, 24, V) proj
     return wst.g2_proj_to_am(
