@@ -222,11 +222,16 @@ class ConstraintSystem:
         )
 
     def full_assignment(self) -> List[int]:
-        """Assignment in input-major order (proving mode only)."""
+        """Assignment in input-major order (proving mode only).
+
+        The permutation applies through an object-array fancy-index
+        (C-speed) instead of a Python loop: at 13M mainnet-circuit vars
+        the loop alone was ~12 s of the witness-encode wall."""
         if any(v is None for v in self.assignment):
             raise SynthesisError("constraint system not in proving mode")
-        remap = self._remap()
-        out = [0] * len(self.assignment)
-        for old, new in enumerate(remap):
-            out[new] = self.assignment[old]
-        return out
+        import numpy as np
+
+        remap = np.asarray(self._remap(), dtype=np.int64)
+        inv = np.empty_like(remap)  # inv[new] = old
+        inv[remap] = np.arange(remap.shape[0], dtype=np.int64)
+        return np.asarray(self.assignment, dtype=object)[inv].tolist()

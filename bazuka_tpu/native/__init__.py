@@ -166,3 +166,65 @@ def native_poseidon_batch(arity: int, flat_vals) -> list | None:
     return [
         int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "little") for i in range(n)
     ]
+
+
+_SRC3 = os.path.join(os.path.dirname(_SRC), "witness.cpp")
+_SO3 = os.path.join(os.path.dirname(_SO), "witness.so")
+_lib3 = None
+
+
+def load_witness():
+    """Load (building if needed) the witness limb encoder.  Needs the
+    CPython headers (Python.h) at build time and ctypes.PyDLL at load
+    time — the function walks PyObjects, so the GIL must stay held.
+    None if unavailable (callers fall back to the bytes path)."""
+    global _lib3
+    import sysconfig
+
+    with _lock:
+        if _lib3 is not None:
+            return _lib3
+        if (not os.path.exists(_SO3)
+                or os.path.getmtime(_SO3) < os.path.getmtime(_SRC3)):
+            inc = sysconfig.get_paths()["include"]
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-I", inc,
+                     "-o", _SO3, _SRC3],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.PyDLL(_SO3)
+        except OSError:
+            return None
+        lib.encode_fr_rows16.argtypes = [
+            ctypes.py_object, ctypes.py_object,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.encode_fr_rows16.restype = ctypes.c_int64
+        _lib3 = lib
+        return _lib3
+
+
+def native_encode_fr16(values, modulus: int):
+    """Sequence of ints -> (len, 16) uint16 limb rows (little-endian
+    16-bit limbs), reduced mod `modulus`; None if the native encoder is
+    unavailable.  One C pass replaces the per-element `v % P` +
+    `int.to_bytes` Python path (~10x at 13M witness elements)."""
+    import numpy as np
+
+    lib = load_witness()
+    if lib is None:
+        return None
+    n = len(values)
+    out = np.empty((n, 16), np.uint16)
+    mod_le = np.frombuffer(
+        int(modulus).to_bytes(32, "little"), np.uint8
+    ).copy()
+    got = lib.encode_fr_rows16(values, modulus, mod_le.ctypes.data,
+                               out.ctypes.data, n)
+    if got != n:
+        return None
+    return out
