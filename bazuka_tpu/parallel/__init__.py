@@ -378,3 +378,15 @@ def eddsa_verify_sharded(mesh, pks, msgs, sigs):
          for pk, sig in zip(pks[:n], sigs[:n])]
     )
     return ok & curve_ok
+
+
+# ---------------------------------------------------- sharded prover
+# (at the bottom: parallel.prove imports ntt_four_step from this module)
+
+from .prove import (  # noqa: E402
+    compute_h_sharded,
+    coset_intt_fs,
+    coset_ntt_fs,
+    create_proof_sharded,
+    msm_sharded_v3,
+)
