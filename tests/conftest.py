@@ -31,8 +31,14 @@ import pytest  # noqa: E402
 # ---------------------------------------------------------------- tiers
 #
 # Two tiers (README "Running the tests"):
-#   default     — correctness suite, target < 5 min on a 4-core host with
-#                 a warm compile cache; runs everywhere, every time.
+#   default     — correctness suite, budget < 10 min COLD on a 4-core
+#                 host (measured round 5; the XLA:CPU persistent cache
+#                 never hits on this stack — its AOT loader records
+#                 tuning pseudo-features as machine features and rejects
+#                 its own entries — so every run pays full compiles).
+#                 Includes one ungated real Groth16 prove/verify
+#                 roundtrip against the COMMITTED toy proving key
+#                 (tests/data/, regenerated+checked in the slow tier).
 #   slow tier   — compile/execution-heavy device-kernel tests (big MSM /
 #                 sharded-collective / E2E-pipeline programs: XLA:CPU
 #                 executes limb curve math ~4000x slower than the TPU).

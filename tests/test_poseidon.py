@@ -40,6 +40,19 @@ def test_host_golden_vectors():
 
 
 def test_kernel_golden_vectors_np():
+    """np-kernel golden vectors at the protocol's live arities (4 = the
+    quad-tree merge, 5 = account leaves, 1/16 = the width extremes);
+    the host twin covers all 16 above, and the remaining widths run in
+    the slow tier — each arity is a separate kernel build, and all 16
+    cost ~40 s of every default run."""
+    for arity in (1, 4, 5, 16):
+        inp = np.array([list(range(arity))], dtype=object)
+        got = poseidon_batch(inp, backend="np")
+        assert int(got[0]) == int(GOLDEN[arity - 1]), f"arity {arity}"
+
+
+@pytest.mark.slow
+def test_kernel_golden_vectors_np_all_arities():
     for arity in range(1, MAX_ARITY + 1):
         inp = np.array([list(range(arity))], dtype=object)
         got = poseidon_batch(inp, backend="np")
