@@ -407,9 +407,11 @@ def save_parameters(params: Parameters, path: str) -> None:
 def load_parameters(path: str, backend: str = "jax",
                     device_queries: Optional[bool] = None) -> Parameters:
     """Inverse of save_parameters (both layouts).  device_queries=None
-    auto-selects like generate_parameters: query tensors go back on
-    device when they fit (padded length <= 2^21), else stay host-side
-    (directory layout: memory-mapped) and the prover uploads per MSM."""
+    auto-selects the generate_parameters three-way policy: padded length
+    <= 2^22 all five queries narrow-resident; <= 2^23 the four G1
+    queries resident with the G2 query host-streamed ("g1"); above that
+    all host-side (directory layout: memory-mapped) and the prover
+    uploads narrow per MSM."""
     import os
     import pickle
 

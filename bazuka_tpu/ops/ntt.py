@@ -99,7 +99,12 @@ def _pow_builder(log_n: int, backend: str):
     """Jitted builder: (m,) int64 exponents + (log_n, 16) Montgomery
     powers w^(2^k) -> (m, 16) Montgomery w^e, via the bit decomposition
     e = Σ bit_k(e)·2^k (log_n full-width masked multiplies — no host
-    per-element loop, no giant upload)."""
+    per-element loop, no giant upload).
+
+    log_n <= 31: without jax x64 the device exponent array is int32, so
+    exponents (< n) overflow at log_n = 32 — Fr's 2-adicity admits 2^32
+    domains but nothing in the prover needs one (d <= 2^24)."""
+    assert log_n <= 31, "int32 exponent arithmetic caps domains at 2^31"
     F = fr_field(backend)
     one = F.const_mont(1)
 
@@ -200,14 +205,24 @@ def _ntt_fn(log_n: int, inverse: bool, backend: str):
         # donate x: every caller consumes its input (h-phase pipeline),
         # and at d = 2^24 each (d, 16) tensor is 1 GiB of HBM — aliasing
         # in/out keeps the sequential h computation inside the chip.
-        # (JAX silently copies if the buffer is still referenced.)
+        # NOTE on TPU donation invalidates the input REGARDLESS of other
+        # Python references (later use raises "Array has been deleted");
+        # only backends without donation support (the CPU the tests run
+        # on) silently copy instead — CPU CI cannot catch a reuse bug.
         run = jax.jit(run, donate_argnums=0)
     return run
 
 
 def ntt_mont(x, inverse: bool = False, backend: str = "jax"):
     """(n, 16) Montgomery limbs -> NTT'd limbs, bit-exact vs ntt_host.
-    jax backend DONATES x (see _ntt_fn).  Above _FOURSTEP_MIN_LOG_N the
+
+    DONATION CONTRACT (jax backend): x is donated — on TPU the input
+    array is INVALID after this call even if other Python references
+    hold it (reuse raises "Array has been deleted"; the CPU backend
+    silently copies, so tests cannot catch a reuse).  Callers that need
+    x afterwards must pass a copy (x + 0 under jit, or jnp.copy).
+
+    Above _FOURSTEP_MIN_LOG_N the
     monolithic stage-loop program is replaced by the chunked Bailey
     four-step (see _ntt_mont_fourstep): the 24-stage program's peak
     working set at 2^24 is most of the chip, and with any other proof
@@ -266,10 +281,12 @@ def _twiddle_rows_fn(log_n: int, log_B: int, C: int, backend: str):
     one = F.const_mont(1)
     B = 1 << log_B
 
+    assert log_n <= 31, "int32 exponent arithmetic caps domains at 2^31"
+
     def run(chunk, lo, wp):
-        # exponents n1*k2 < A*B = N <= 2^30 for every supported domain
-        # (Fr 2-adicity caps log_n at 32; the prover uses <= 2^24), so
-        # 32-bit arange arithmetic cannot overflow even without x64.
+        # exponent products r*k2 < A*B = N: without x64 the arange
+        # arithmetic is int32, so this is safe for log_n <= 31 only
+        # (asserted above; the prover's domains cap at 2^24)
         r = lo + jnp.arange(C, dtype=jnp.int64)
         e = (r[:, None] * jnp.arange(B, dtype=jnp.int64)[None, :]) % (
             1 << log_n
