@@ -2,11 +2,11 @@
 """Benchmark driver: prints ONE JSON headline line (re-printed, upgraded,
 as better metrics land — every printed line is complete and valid).
 
-Headline: G1 MSM points/s at 2^20 with full 255-bit scalars on the v2
-fused limb-major Pippenger pipeline (ops.pallas_msm) — the dominant
-Groth16 proving kernel (BASELINE.md config 4).  `extra` carries the
-other measured sizes (2^18/2^22 MSM, 2^20 NTT) so all BASELINE sizes
-are visible in one line.  vs_baseline is measured against the working
+Headline: G1 MSM points/s at 2^20 with full-width scalars on the v3
+balanced-drain limb-major Pippenger pipeline (ops.pallas_msm) — the
+dominant Groth16 proving kernel (BASELINE.md config 4).  `extra`
+carries the other measured sizes (2^18/2^22/2^24 MSM, 2^20/2^22 NTT)
+so every BASELINE target size is visible in one line.  vs_baseline is measured against the working
 CPU baseline of bellman-Pippenger ~= 0.5M points/s on a 32-core host
 (BASELINE.md: the reference publishes no numbers of its own).
 
@@ -50,26 +50,49 @@ def _append_stage(obj):
         os.fsync(f.fileno())
 
 
-def bench_msm(log_n: int, c: int = 12, iters: int = 3):
-    """Warm points/s of the full MSM (device program + host combine)."""
+def _msm_inputs_np(log_n: int):
+    """Host inputs without the per-element Python bigint path: 64
+    distinct points encoded once then np-tiled to n rows; scalars as
+    random 253-bit (< r) limb rows drawn directly as uint16 payloads.
+    Input build at 2^24 drops from minutes of host bigint work to ~1 s,
+    which is what lets the BASELINE sizes fit the driver budget."""
     import numpy as np
 
     from bazuka_tpu.crypto import bls12_381 as bls
     from bazuka_tpu.ops import pallas_msm as pm
+
+    n = 1 << log_n
+    base_pts = [bls.g1_mul(bls.G1_GEN, int(k)) for k in range(1, 65)]
+    base_am, _ = pm.points_to_am(base_pts, backend="np")
+    am_np = np.tile(np.asarray(base_am, np.uint32), (n // 64, 1, 1))
+    inf_np = np.zeros(n, np.uint32)
+    rng = np.random.default_rng(0)
+    s_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    s_np[:, 15] &= 0x1FFF  # top limb 13 bits -> value < 2^253 < r
+    return am_np, inf_np, s_np
+
+
+def bench_msm(log_n: int, c: int = 12, iters: int = 3):
+    """Warm points/s of the full MSM (device program + host combine),
+    query device-resident (narrow upload + on-device widen, the
+    prover's wire discipline)."""
+    import jax
+    import numpy as np
+
+    from bazuka_tpu.ops import pallas_msm as pm
     from bazuka_tpu.ops import weierstrass as wst
-    from bazuka_tpu.ops.msm import _enc_scalars
 
     wst.warmup("jax")
+    import jax.numpy as jnp
+
     n = 1 << log_n
-    rng = np.random.default_rng(0)
-    base_pts = [bls.g1_mul(bls.G1_GEN, int(k)) for k in range(1, 65)]
-    pts = [base_pts[i % 64] for i in range(n)]
-    scalars = [
-        (int(a) << 192 | int(b) << 128 | int(c2) << 64 | int(d)) % bls.R
-        for a, b, c2, d in rng.integers(0, 2**63, size=(n, 4))
-    ]
-    P_am, inf = pm.points_to_am(pts)
-    s = _enc_scalars(scalars, "jax")
+    am_np, inf_np, s_np = _msm_inputs_np(log_n)
+    widen = jax.jit(lambda a: a.astype(jnp.uint32), donate_argnums=0)
+    P_am = widen(jax.device_put(np.asarray(am_np, np.uint16)))
+    del am_np
+    inf = jax.device_put(inf_np)
+    s = widen(jax.device_put(np.asarray(s_np, np.uint16)))
+    del s_np
     pm.msm_lm(P_am, inf, s, c=c)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -133,15 +156,19 @@ def run_worker(mode: str) -> int:
     _append_stage({"stage": "ready", "backend": jax.default_backend()})
 
     if mode == "tpu":
+        # BASELINE.md sizes (config 3/4): MSM 2^18..2^24, NTT 2^20/2^22.
+        # Cheapest-first so the headline lands early; each stage appends
+        # durably, so a deadline kill keeps everything already measured.
         stages = [
             ("msm", 18), ("msm", 20), ("ntt", 20), ("msm", 22),
+            ("ntt", 22), ("msm", 24),
         ]
     else:
         stages = [("poseidon", 13), ("ntt", 14)]
     for kind, log_n in stages:
         try:
             if kind == "msm":
-                rate = bench_msm(log_n)
+                rate = bench_msm(log_n, iters=1 if log_n >= 24 else 3)
                 _append_stage({"stage": f"msm{log_n}", "points_per_s": rate})
             elif kind == "ntt":
                 rate = bench_ntt(log_n)
@@ -190,7 +217,7 @@ def _compose(stages: dict):
     """Best headline + extras from the stage results seen so far."""
     extra = {}
     result = None
-    for log_n in (20, 22, 18):  # headline preference
+    for log_n in (20, 22, 24, 18):  # headline preference
         k = f"msm{log_n}"
         if k in stages and result is None:
             rate = stages[k]["points_per_s"]

@@ -52,6 +52,34 @@ def timeit(fn, iters=5, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
+def marginal_rate(fn_full, fn_half, B, iters=10):
+    """Dispatch-free per-element rate from paired full/half-batch
+    timings.  The round-4 report printed NEGATIVE rates because two
+    sequential 5-iter timings are noisy enough for dt_half > dt_full;
+    this version interleaves the two batch sizes (same thermal/clock
+    context), takes per-pair minima, and REJECTS the subtraction when
+    the separation is inside noise (< 15%), falling back to the
+    full-batch rate — a conservative, always-positive ceiling."""
+    import jax
+
+    for f in (fn_full, fn_half):  # warm both programs
+        jax.block_until_ready(f())
+    best_full = best_half = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn_full())
+        t1 = time.perf_counter()
+        jax.block_until_ready(fn_half())
+        t2 = time.perf_counter()
+        best_full = min(best_full, t1 - t0)
+        best_half = min(best_half, t2 - t1)
+    if best_full > best_half * 1.15:
+        return (B - B // 2) / (best_full - best_half), best_full
+    # separation below noise: dispatch dominates — the honest marginal
+    # estimate is the full-batch throughput itself
+    return B / best_full, best_full
+
+
 def measure_device():
     """All single-chip kernel measurements."""
     from bazuka_tpu.utils.jaxcfg import enable_compile_cache
@@ -75,10 +103,10 @@ def measure_device():
     B = 1 << 20
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 2**16, size=(B, 24), dtype=np.uint32))
-    dt1 = timeit(lambda: F.mont_mul(x, x))
     x2 = x[: B // 2]
-    dt2 = timeit(lambda: F.mont_mul(x2, x2))
-    marginal = (B - B // 2) / (dt1 - dt2)  # dispatch-free rate
+    marginal, dt1 = marginal_rate(
+        lambda: F.mont_mul(x, x), lambda: F.mont_mul(x2, x2), B
+    )
     out["mont_mul_per_s"] = B / dt1
     out["mont_mul_marginal_per_s"] = marginal
     # HBM bound: 3 x (B, 24) u32 arrays read+written ~ 3 passes x 96B
