@@ -192,6 +192,50 @@ def _g2_msm(query, scalars_std, backend: str, plan=None, c: int = 12,
                           dedup_plan=plan, chunk=chunk)
 
 
+def _g2_msm_big(query_narrow, scalars_std, plan, c: int, chunk: int,
+                fresh: bool):
+    """Big-mode G2 MSM over the NARROW query: the full 6.4 GB widened
+    (2^24, 4, 24) tensor never exists.  The heavy-group presum reads
+    the narrow query directly (its per-round gather widens for free);
+    the main drain runs as TWO half-length MSMs, widening one 3.2 GB
+    half at a time, combined by a host G2 add.  Peak HBM ≈ narrow full
+    (3.2) + wide half (3.2) + scalars (1.6) + drain scratch (≈3.9 at
+    chunk 2^17) ≈ 12 GB — vs ≥16 GB for the monolithic drain, the
+    round-5 v11/v12 OOM and v13 device-fault site.  The halves also
+    compile a half-length program (shared between the two calls)."""
+    import jax
+    import jax.numpy as jnp
+
+    am_n, inf_n = query_narrow
+    inf = _widen_u32(inf_n, donate=fresh)
+    extra = None
+    if plan is not None and plan.active:
+        sum_am, sum_inf = pmsm.presum_g2_am(am_n, inf, plan)
+        V = int(plan.heavy_scalars.shape[0])
+        extra = pmsm.msm_lm_g2(sum_am, sum_inf,
+                               jnp.asarray(plan.heavy_scalars),
+                               c=4 if V < (1 << 12) else 8, chunk=chunk)
+        del sum_am, sum_inf
+        scalars_std = pmsm._zero_rows_fn()(scalars_std,
+                                           jnp.asarray(plan.hpos))
+    N = int(am_n.shape[0])
+    half = N // 2
+    widen_half = jax.jit(
+        lambda a, lo: jax.lax.dynamic_slice(
+            a, (lo, 0, 0), (half, a.shape[1], a.shape[2])
+        ).astype(jnp.uint32)
+    )
+    total = extra
+    for lo in (0, half):
+        wide = widen_half(am_n, jnp.int32(lo))
+        part = pmsm.msm_lm_g2(wide, inf[lo:lo + half],
+                              scalars_std[lo:lo + half], c=c, chunk=chunk)
+        del wide
+        if part is not None:
+            total = bls.g2_add(total, part) if total is not None else part
+    return total
+
+
 def create_proof(
     params: Parameters,
     cs: ConstraintSystem,
@@ -243,41 +287,15 @@ def create_proof(
     d = qap.domain_size(dev.c.n_constraints, n_inputs)
     big = backend == "jax" and d >= BIG_DOMAIN
 
-    # PRE-WARM the mainnet-scale MSM programs on a worker thread while
-    # the host encodes the witness and the device runs the h phase:
-    # round-4 v10 measured MSM a at 554.5 s vs b_g1 at 90.5 s at the
-    # IDENTICAL shape — ~460 s of first-dispatch compilation that the
-    # persistent cache does not absorb on this stack.  jax.jit compiles
-    # lazily, so the thread forces AOT compilation via lower().compile();
-    # the result lands in the same jit cache the MSM loop hits later.
-    # XLA compilation releases the GIL and is thread-safe against the
-    # main thread's device ops (one PROCESS still owns the TPU tunnel).
-    prewarm = None
-    if backend == "jax" and Np >= (1 << 22):
-        import threading
-
-        def _prewarm_worker():
-            try:
-                import jax
-
-                sds = jax.ShapeDtypeStruct
-                u32 = np.uint32
-                for kind, n_aff, ch in (  # ch matches run_g2's policy
-                    ("g1", 2, 1 << 18),
-                    ("g2", 4, (1 << 17) if big else (1 << 18)),
-                ):
-                    run, _ = pmsm._msm_program_v3(
-                        Np, _msm_c(Np), 255, 8, False, ch, kind
-                    )
-                    run.lower(
-                        sds((Np, n_aff, 24), u32), sds((Np,), u32),
-                        sds((Np, 16), u32),
-                    ).compile()
-            except Exception:
-                pass  # warm-up is best-effort; the MSM loop compiles lazily
-
-        prewarm = threading.Thread(target=_prewarm_worker, daemon=True)
-        prewarm.start()
+    # NOTE on compile warm-up (round-5 finding): AOT-compiling the MSM
+    # programs on a worker thread via lower().compile() does NOT reach
+    # the later jit call sites on this stack — v13 prewarmed both 2^24
+    # drains (552 s) and every presum program (1497 s) and MSM a STILL
+    # paid its full ~590 s first-dispatch compile.  Cold-proof compile
+    # cost is therefore structural per process; production provers are
+    # long-lived and amortize it (the tool's --warm-proves measures the
+    # steady state).  Only the cheap host-side plan work overlaps below.
+    g2_chunk = (1 << 17) if big else (1 << 18)  # G2 drain HBM plan
     z_np = np.zeros((Np, 16), np.uint32)
     # HOST-side limb encode.  F.encode on the jax backend ends in
     # xp.asarray — a device upload — and assigning that into z_np would
@@ -393,34 +411,38 @@ def create_proof(
         plan_z = pmsm.make_dedup_plan(z_np)
         plan_aux = plan_z.derive_shifted(n_inputs)
     _tick("dedup plans")
-    if prewarm is not None:
-        prewarm.join()  # all-compiles-done before the first drain
-        _tick("msm prewarm join")
 
     def run_g1(query, scalars, plan):
         return pmsm.msm_lm(*query, scalars, c=c_full, dedup_plan=plan)
 
-    def run_g2(query, scalars, plan):
-        # G2 drain working set is 2x G1 at the same chunk (4-plane
-        # stream + schedule + 6-plane trace all scale with chunk); in
-        # big mode halve the chunk so the drain fits NEXT TO the 6.4 GB
-        # widened query (round-5 v11 OOM: chunk 2^18 peaked ~16.4 GB)
+    def run_g2(query, scalars, plan, fresh=True):
+        if big:
+            # big mode: narrow-query half-split drain (see _g2_msm_big)
+            return _g2_msm_big(query, scalars, plan, c_full, g2_chunk,
+                               fresh)
         return _g2_msm(query, backend=backend, scalars_std=scalars,
-                       plan=plan, c=c_full,
-                       chunk=(1 << 17) if big else (1 << 18))
+                       plan=plan, c=c_full, chunk=g2_chunk)
 
+    # Scalars travel in ONE-SHOT boxes: the loop pops the tensor out of
+    # the box at call time, so during an MSM the only live reference is
+    # the callee's argument (and the dedup branch drops even that once
+    # it has built the zeroed copy) — without this, the caller frame
+    # pinned 1 GiB z/aux/h tensors through every drain (v12 G2 OOM
+    # component).  z rides in three boxes (a, b_g1, b_g2): the earlier
+    # pops just drop box refs; the final pop leaves the callee alone.
     jobs = [
-        ("a", pk.a_query, run_g1, z_p, plan_z),
-        ("b_g1", pk.b_g1_query, run_g1, z_p, plan_z),
+        ("a", pk.a_query, run_g1, [z_p], plan_z),
+        ("b_g1", pk.b_g1_query, run_g1, [z_p], plan_z),
     ]
     if d > 1:
-        jobs.append(("h", pk.h_query, run_g1, _pad_rows(F, h_std, Np), None))
+        jobs.append(("h", pk.h_query, run_g1, [_pad_rows(F, h_std, Np)],
+                     None))
         del h_std  # the padded copy is 1 GiB at d = 2^24; keep ONE
     if num_vars > n_inputs:
-        jobs.append(("l", pk.l_query, run_g1, aux_p, plan_aux))
+        jobs.append(("l", pk.l_query, run_g1, [aux_p], plan_aux))
         del aux_p  # ref lives in the l job only; freed right after it runs
-    jobs.append(("b_g2", pk.b_g2_query, run_g2, z_p, plan_z))
-    del z_p  # jobs hold the only refs; each is dropped as its MSM runs
+    jobs.append(("b_g2", pk.b_g2_query, run_g2, [z_p], plan_z))
+    del z_p  # boxes hold the only refs; each pops as its MSM runs
 
     # Prefetch cap: a pending narrow G2 query at Np = 2^24 is 3.2 GB;
     # letting it coexist with the current widened G1 query + drain
@@ -447,8 +469,8 @@ def create_proof(
     sums = {"h": None, "l": None}
     pending = _put(jobs[0][1], ahead=False)
     for i in range(len(jobs)):
-        name, query, run, scalars, plan = jobs[i]
-        jobs[i] = None  # drop this job's scalar ref once it has run
+        name, query, run, sbox, plan = jobs[i]
+        jobs[i] = None  # drop this job's box once it has run
         fresh = isinstance(query[0], np.ndarray)
         q, pending = pending, None
         if q is None:  # prefetch was skipped (size cap)
@@ -461,8 +483,12 @@ def create_proof(
             # tipped the chip over (round-4 v9 OOM) — big mode strictly
             # serializes upload -> widen -> drain.
             pending = _put(jobs[i + 1][1], ahead=True)
-        sums[name] = run(_consume(q, fresh), scalars, plan)
-        del q, query, scalars
+        if name == "b_g2" and big:
+            # narrow tuple passes through: _g2_msm_big widens per half
+            sums[name] = run(q, sbox.pop(), plan, fresh)
+        else:
+            sums[name] = run(_consume(q, fresh), sbox.pop(), plan)
+        del q, query, sbox
         _tick(f"MSM {name}")
     sum_az, sum_bz_g1 = sums["a"], sums["b_g1"]
     sum_h, sum_l, sum_bz_g2 = sums["h"], sums["l"], sums["b_g2"]

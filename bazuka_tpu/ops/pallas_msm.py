@@ -906,6 +906,14 @@ def _msm_program_v3(N: int, c: int, nbits: int, s_tile: int,
     STATIC_SCAN = 3  # covers bucket spans <= 8 blocks without a gather
 
     def run(P_am, inf, scalars):
+        # v3 derives validity from digit != 0, so infinity rows must
+        # carry zero scalars.  Folding the masking INTO the program
+        # lets XLA fuse it into the digit extraction's read of
+        # `scalars` — the caller-side jnp.where materialized a full
+        # (N, 16) copy (1 GiB at 2^24; round-5 v12 G2 OOM component).
+        scalars = jnp.where(
+            (inf != 0)[:, None], jnp.zeros_like(scalars), scalars
+        )
         if N_pad != N:
             P_am = jnp.pad(P_am, ((0, N_pad - N), (0, 0), (0, 0)))
             inf = jnp.pad(inf, (0, N_pad - N), constant_values=1)
@@ -1253,7 +1261,10 @@ def _g1_presum_fn(m: int, Hp: int, Ks: int, n_rounds: int, s_tile: int,
             pos = jnp.clip(run_start + r, 0, Hp - 1)
             gpos = gidx[pos]
             valid = (r < run_len) & (inf[gpos] == 0)
-            pts = P_am[gpos].transpose(1, 2, 0)
+            # accepts the NARROW (uint16) query too: the per-round
+            # (Ks, 2, 24) gather widens for free, so big mode can
+            # presum without materializing the widened full query
+            pts = P_am[gpos].astype(jnp.uint32).transpose(1, 2, 0)
             return madd_select_lm(acc, pts, valid, s_tile, interpret)
 
         acc = jax.lax.fori_loop(0, m, body, acc)
@@ -1390,6 +1401,7 @@ def msm_lm(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
                        s_tile=s_tile, interpret=interpret, chunk=chunk)
         del sum_am, sum_inf
         scal = _zero_rows_fn()(scalars_std, jnp.asarray(plan.hpos))
+        del scalars_std  # big-mode HBM: drop this frame's 1 GiB ref
         main = msm_lm(P_am, inf, scal, c=c, nbits=nbits, s_tile=s_tile,
                       interpret=interpret, chunk=chunk)
         del scal
@@ -1398,11 +1410,7 @@ def msm_lm(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
         return bls.g1_add(main, extra) if extra is not None else main
     N = int(scalars_std.shape[0])
     if _use_v3(N, chunk):
-        # v3 derives validity from digit != 0, so infinity points must
-        # carry zero scalars (pads already do; enforce for the rest)
-        scalars_std = jnp.where(
-            (inf != 0)[:, None], jnp.zeros_like(scalars_std), scalars_std
-        )
+        # infinity rows -> zero scalars is enforced INSIDE the program
         run, n_windows = _msm_program_v3(
             N, c, nbits, s_tile, interpret, chunk
         )
@@ -1475,6 +1483,7 @@ def msm_lm_g2(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
                           s_tile=s_tile, interpret=interpret, chunk=chunk)
         del sum_am, sum_inf  # before the main drain's scratch (HBM)
         scal = _zero_rows_fn()(scalars_std, jnp.asarray(plan.hpos))
+        del scalars_std  # big-mode HBM: drop this frame's 1 GiB ref
         main = msm_lm_g2(P_am, inf, scal, c=c, nbits=nbits, s_tile=s_tile,
                          interpret=interpret, chunk=chunk)
         del scal
@@ -1483,11 +1492,7 @@ def msm_lm_g2(P_am, inf, scalars_std, c: int = 12, nbits: int = 255,
         return bls.g2_add(main, extra) if extra is not None else main
     N = int(scalars_std.shape[0])
     if _use_v3(N, chunk):
-        import jax.numpy as jnp
-
-        scalars_std = jnp.where(
-            (inf != 0)[:, None], jnp.zeros_like(scalars_std), scalars_std
-        )
+        # infinity rows -> zero scalars is enforced INSIDE the program
         run, n_windows = _msm_program_v3(
             N, c, nbits, s_tile, interpret, chunk, "g2"
         )
@@ -1536,7 +1541,7 @@ def _g2_presum_am_fn(m: int, Hp: int, Ks: int, n_rounds: int, s_tile: int,
             pos = jnp.clip(run_start + r, 0, Hp - 1)
             gpos = gidx[pos]
             valid = (r < run_len) & (inf[gpos] == 0)
-            pts = P_am[gpos].transpose(1, 2, 0)
+            pts = P_am[gpos].astype(jnp.uint32).transpose(1, 2, 0)
             return madd_select_g2_lm(acc, pts, valid, s_tile, interpret)
 
         acc = jax.lax.fori_loop(0, m, body, acc)

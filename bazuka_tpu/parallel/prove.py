@@ -198,6 +198,33 @@ def msm_sharded_v3(mesh, query, scalars_std, kind: str = "g1",
         N // D, c, nbits, s_tile, False, chunk, kind
     )
 
+    if kind == "g2" and not pm._on_tpu():
+        # WORKAROUND (round 5, measured): XLA:CPU miscompiles the G2 v3
+        # drain under shard_map — per-device AFFINE window sums come out
+        # wrong on every device while the IDENTICAL program run directly
+        # per shard is bit-exact, G1 is bit-exact under the same
+        # shard_map specs, and both G2 kernels (madd/add_select) pass
+        # standalone under shard_map (eager shard_map fails identically,
+        # so it is not the outer-jit GSPMD pass).  On the CPU
+        # validation mesh the G2 drains therefore run per shard on one
+        # device and feed the SAME device tree-reduce; the TPU path
+        # (Pallas kernels, no jnp fallback) keeps the shard_map SPMD
+        # form below.
+        parts_l = []
+        for dd in range(D):
+            lo, hi = dd * (N // D), (dd + 1) * (N // D)
+            am_s = jnp.asarray(np.asarray(am[lo:hi], np.uint32)) \
+                if isinstance(am, np.ndarray) else am[lo:hi].astype(jnp.uint32)
+            inf_s = jnp.asarray(np.asarray(inf[lo:hi], np.uint32)) \
+                if isinstance(inf, np.ndarray) else inf[lo:hi].astype(jnp.uint32)
+            s_s = jnp.asarray(np.asarray(scalars_std[lo:hi])) \
+                if isinstance(scalars_std, np.ndarray) \
+                else scalars_std[lo:hi].astype(jnp.uint32)
+            parts_l.append(run(am_s, inf_s, s_s)[None])
+        parts = jnp.concatenate(parts_l, axis=0)
+        reduced = _reduce_parts_fn(kind, D, n_windows, s_tile)(parts)
+        return _combine_windows(np.asarray(reduced), kind, c)
+
     def local(P_shard, inf_shard, s_shard):
         # v3 derives validity from digit != 0: infinity rows must carry
         # zero scalars (keygen pads already do; enforce for the rest)
