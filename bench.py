@@ -318,7 +318,7 @@ def main():
     t0 = time.perf_counter()
     if _relay_up():
         _run_child("tpu", out_path, stages,
-                   first_line_s=420, total_s=min(budget - 120, 900))
+                   first_line_s=420, total_s=min(budget - 120, 1800))
     else:
         print("relay not listening: TPU unavailable, CPU fallback",
               file=sys.stderr)
