@@ -475,13 +475,16 @@ def create_proof(
         q, pending = pending, None
         if q is None:  # prefetch was skipped (size cap)
             q = _put(query, ahead=False)
-        if i + 1 < len(jobs) and not big:
+        if i + 1 < len(jobs):
             # overlap the next query's tunnel upload with this MSM's
-            # drain.  NOT in big mode: at Np = 2^24 a pending 1.6 GB
-            # narrow query on top of the 3.2 GB widened current query,
-            # three ~1 GB scalar tensors and the split-dedup transients
-            # tipped the chip over (round-4 v9 OOM) — big mode strictly
-            # serializes upload -> widen -> drain.
+            # drain (the tunnel moves ~50 MB/s: a 1.6 GB narrow G1
+            # query is ~30 s of the measured ~85 s warm MSM stage).
+            # Round 4 disabled this in big mode (v9 OOM); the round-5
+            # residency work restores the headroom: one-shot scalar
+            # boxes, the where fused into the drain, and the G2
+            # half-split put the big-mode drain peak at ~11 GB, so a
+            # pending narrow query (<= 3.2 GB, PREFETCH_MAX_BYTES cap)
+            # fits again.
             pending = _put(jobs[i + 1][1], ahead=True)
         if name == "b_g2" and big:
             # narrow tuple passes through: _g2_msm_big widens per half

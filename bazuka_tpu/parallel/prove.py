@@ -206,22 +206,23 @@ def msm_sharded_v3(mesh, query, scalars_std, kind: str = "g1",
         # shard_map specs, and both G2 kernels (madd/add_select) pass
         # standalone under shard_map (eager shard_map fails identically,
         # so it is not the outer-jit GSPMD pass).  On the CPU
-        # validation mesh the G2 drains therefore run per shard on one
-        # device and feed the SAME device tree-reduce; the TPU path
-        # (Pallas kernels, no jnp fallback) keeps the shard_map SPMD
-        # form below.
-        parts_l = []
-        for dd in range(D):
-            lo, hi = dd * (N // D), (dd + 1) * (N // D)
-            am_s = jnp.asarray(np.asarray(am[lo:hi], np.uint32)) \
-                if isinstance(am, np.ndarray) else am[lo:hi].astype(jnp.uint32)
-            inf_s = jnp.asarray(np.asarray(inf[lo:hi], np.uint32)) \
-                if isinstance(inf, np.ndarray) else inf[lo:hi].astype(jnp.uint32)
-            s_s = jnp.asarray(np.asarray(scalars_std[lo:hi])) \
-                if isinstance(scalars_std, np.ndarray) \
-                else scalars_std[lo:hi].astype(jnp.uint32)
-            parts_l.append(run(am_s, inf_s, s_s)[None])
-        parts = jnp.concatenate(parts_l, axis=0)
+        # validation mesh the G2 per-shard drains therefore run as ONE
+        # vmapped batch on one device (bit-identical per-shard math,
+        # better intra-op threading than 8 sequential dispatches) and
+        # feed the SAME device tree-reduce; the TPU path (Pallas
+        # kernels, no jnp fallback) keeps the shard_map SPMD form below.
+        import jax as _jax
+
+        am_r = (jnp.asarray(np.asarray(am, np.uint32))
+                if isinstance(am, np.ndarray)
+                else am.astype(jnp.uint32)).reshape(D, N // D, -1, 24)
+        inf_r = (jnp.asarray(np.asarray(inf, np.uint32))
+                 if isinstance(inf, np.ndarray)
+                 else inf.astype(jnp.uint32)).reshape(D, N // D)
+        s_r = (jnp.asarray(np.asarray(scalars_std))
+               if isinstance(scalars_std, np.ndarray)
+               else scalars_std.astype(jnp.uint32)).reshape(D, N // D, 16)
+        parts = _jax.vmap(run)(am_r, inf_r, s_r)  # (D, p, 24, W)
         reduced = _reduce_parts_fn(kind, D, n_windows, s_tile)(parts)
         return _combine_windows(np.asarray(reduced), kind, c)
 
