@@ -475,16 +475,16 @@ def create_proof(
         q, pending = pending, None
         if q is None:  # prefetch was skipped (size cap)
             q = _put(query, ahead=False)
-        if i + 1 < len(jobs):
+        if i + 1 < len(jobs) and not big:
             # overlap the next query's tunnel upload with this MSM's
-            # drain (the tunnel moves ~50 MB/s: a 1.6 GB narrow G1
-            # query is ~30 s of the measured ~85 s warm MSM stage).
-            # Round 4 disabled this in big mode (v9 OOM); the round-5
-            # residency work restores the headroom: one-shot scalar
-            # boxes, the where fused into the drain, and the G2
-            # half-split put the big-mode drain peak at ~11 GB, so a
-            # pending narrow query (<= 3.2 GB, PREFETCH_MAX_BYTES cap)
-            # fits again.
+            # drain.  NOT in big mode — measured BOTH ways at 2^24
+            # (round 5): the tunnel is one stream, so a pending 1.6 GB
+            # narrow upload serializes AGAINST the current drain's
+            # dispatch/sync traffic and every G1 stage slowed 30-70 s
+            # (v15 warm 714.6 s vs v14's strictly-serialized 611.6 s,
+            # even though the G2 stage itself sped up 207 -> 115 s).
+            # Memory now has headroom for it (one-shot boxes, fused
+            # masking, half-split G2) — latency is why it stays off.
             pending = _put(jobs[i + 1][1], ahead=True)
         if name == "b_g2" and big:
             # narrow tuple passes through: _g2_msm_big widens per half
