@@ -256,9 +256,16 @@ def create_proof(
             now = _time.perf_counter()
             mem = ""
             try:
-                st = jax.local_devices()[0].memory_stats() or {}
-                mem = (f"  [hbm {st.get('bytes_in_use', 0) / 2**30:.2f}"
-                       f"/{st.get('peak_bytes_in_use', 0) / 2**30:.2f} GiB]")
+                # memory_stats() returns zeros on this stack (round-4
+                # note), so the HBM column is a CLIENT-side ledger: the
+                # bytes of every live jax.Array in the process.  It
+                # misses program scratch (the drain's stream/trace) but
+                # pinpoints which stage's RESIDENT set grew — the
+                # round-4 OOM hunt took ten blind runs for lack of
+                # exactly this.
+                arrs = [a for a in jax.live_arrays() if not a.is_deleted()]
+                live = sum(a.nbytes for a in arrs)
+                mem = f"  [live {live / 2**30:.2f} GiB / {len(arrs)} arrays]"
             except Exception:
                 pass
             print(f"  [prove] {name}: {now - _t[0]:.2f}s{mem}", flush=True)
